@@ -1,0 +1,38 @@
+"""spla_tpu — TPU-native GraphBLAS-style generalized sparse linear algebra.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference spla library (C++/OpenCL, see /root/reference): matrices,
+vectors and scalars over parametrizable element types, operations
+parametrized by arbitrary (multiply, add, select) semirings, masked
+SpMV/SpMM/SpGEMM kernels, and graph algorithms (BFS, SSSP, PageRank,
+triangle counting) built purely from the library's own primitives —
+redesigned TPU-first: sharded ``jax.Array`` containers, XLA/Pallas
+kernels, ``lax.while_loop`` convergence (no host sync), and
+``jax.sharding.Mesh`` + collectives for multi-chip scaling.
+"""
+
+from . import op, ops
+from .containers import BsrMatrix, CooMatrix, CsrMatrix, DenseVec, Scalar, SparseVec
+from .descriptor import Descriptor
+from .types import BOOL, FLOAT, INT, UINT, Type, type_from_dtype
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "op",
+    "ops",
+    "Scalar",
+    "DenseVec",
+    "SparseVec",
+    "CooMatrix",
+    "CsrMatrix",
+    "BsrMatrix",
+    "Descriptor",
+    "Type",
+    "BOOL",
+    "INT",
+    "UINT",
+    "FLOAT",
+    "type_from_dtype",
+    "__version__",
+]

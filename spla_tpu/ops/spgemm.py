@@ -1,0 +1,208 @@
+"""Generalized SpGEMM: mxm and masked mxmT (triangle counting driver).
+
+TPU-native redesign of the reference pair:
+
+* ``mxm`` (reference ``src/cpu/cpu_mxm.hpp:88-114`` — dense-row
+  accumulator SpGEMM with identity-sparsification) is implemented as
+  **expand-sort-compress** (ESC): expand all products with a prefix-sum
+  schedule, 2-key ``lax.sort`` (TPU's sort unit replaces the OpenCL radix
+  sort ``cl_sort_by_key.hpp:98+``), segmented fold by (row, col), drop
+  values equal to init (the reference's ``R_tmp[j] != I`` sparsification),
+  and compact.
+
+* ``mxmT_masked`` (reference ``cpu_mxmT_masked.hpp:88-125``,
+  ``cl_mxmT_masked.cl``) — for each mask entry (i, j), fold over the
+  sorted intersection of A row i and B row j.  The sequential two-pointer
+  merge becomes a vectorized expansion over B rows plus a row-windowed
+  binary search into A (``utils.search.rowwise_find``).
+
+Both phases are *symbolic+numeric in one pass* with a static product
+capacity: the symbolic sizing (the reference's atomic-counter phase,
+``kernels/vxm.cl:30-55``) runs eagerly on host prefix sums when
+``products_cap`` is not supplied — XLA needs static shapes, and the eager
+caller (facade) mirrors the reference's counter-readback sync anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..containers import CooMatrix, CsrMatrix, Scalar
+from ..formats import coo_to_csr
+from ..utils.search import rowwise_find
+from ..utils.segments import segmented_scan_fold
+
+__all__ = ["mxm", "mxmT_masked", "count_mxm_products", "count_mxmT_products"]
+
+
+def _scalar(x, dtype):
+    if isinstance(x, Scalar):
+        return jnp.asarray(x.value, dtype)
+    return jnp.asarray(x, dtype=dtype)
+
+
+def count_mxm_products(A: CsrMatrix, B: CsrMatrix) -> int:
+    """Host-side exact product count for mxm(A, B) (symbolic phase)."""
+    nnz_a = int(np.asarray(A.nnz))
+    a_cols = np.asarray(A.cols)[:nnz_a]
+    deg_b = np.diff(np.asarray(B.indptr))
+    return int(deg_b[a_cols].sum())
+
+
+def count_mxmT_products(mask: CsrMatrix, B: CsrMatrix) -> int:
+    """Host-side exact product count for mxmT_masked (one per (mask entry,
+    B-row element) pair)."""
+    nnz_m = int(np.asarray(mask.nnz))
+    m_cols = np.asarray(mask.cols)[:nnz_m]
+    deg_b = np.diff(np.asarray(B.indptr))
+    return int(deg_b[m_cols].sum())
+
+
+def _expand_schedule(outer_deg, valid, products_cap):
+    """Prefix-sum expansion: outer entry e contributes outer_deg[e] product
+    slots.  Returns (src[e per slot], local[rank within e], slot_valid)."""
+    deg = jnp.where(valid, outer_deg, 0)
+    ends = jnp.cumsum(deg)  # inclusive
+    total = ends[-1] if ends.shape[0] else jnp.zeros((), deg.dtype)
+    starts = ends - deg
+    t = jnp.arange(products_cap, dtype=ends.dtype)
+    src = jnp.searchsorted(ends, t, side="right")
+    src_c = jnp.clip(src, 0, outer_deg.shape[0] - 1)
+    local = t - starts[src_c]
+    slot_valid = t < total
+    return src_c, local.astype(jnp.int32), slot_valid
+
+
+def mxm(
+    A: CsrMatrix,
+    B: CsrMatrix,
+    op_mul,
+    op_add,
+    init,
+    products_cap: int | None = None,
+    out_capacity: int | None = None,
+) -> CsrMatrix:
+    """R = A * B over the (op_mul, op_add) semiring; entries whose
+    accumulated value equals ``init`` are not stored (reference
+    ``cpu_mxm.hpp:109-113``).  Result fill = init."""
+    m, k = A.shape
+    k2, n = B.shape
+    assert k == k2, "mxm shape mismatch"
+    dtype = A.values.dtype
+    init_a = _scalar(init, dtype)
+    if products_cap is None:
+        products_cap = max(count_mxm_products(A, B), 1)
+
+    deg_b = jnp.diff(B.indptr)
+    a_cols = jnp.clip(A.cols, 0, max(k - 1, 0))
+    src, local, slot_valid = _expand_schedule(
+        deg_b[a_cols], A.valid_mask(), products_cap
+    )
+    i = A.row_ids[src]
+    a_val = A.values[src]
+    b_pos = jnp.clip(B.indptr[a_cols[src]] + local, 0, max(B.capacity - 1, 0))
+    j = B.cols[b_pos]
+    b_val = B.values[b_pos]
+    prod = op_mul(a_val, b_val)
+
+    rows = jnp.where(slot_valid, i, m).astype(jnp.int32)
+    cols = jnp.where(slot_valid, j, n).astype(jnp.int32)
+    rows, cols, prod, slot_valid = lax.sort(
+        (rows, cols, prod, slot_valid), num_keys=2
+    )
+
+    heads = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1]),
+        ]
+    )
+    scan_v, scan_h = segmented_scan_fold(prod, slot_valid, heads, op_add)
+    is_last = jnp.concatenate([heads[1:], jnp.ones((1,), jnp.bool_)])
+    folded = op_add(jnp.full_like(scan_v, init_a), scan_v)
+    keep = is_last & scan_h & (rows < m) & (folded != init_a)
+
+    cap = products_cap
+    out_cap = out_capacity if out_capacity is not None else cap
+    (pos,) = jnp.nonzero(keep, size=out_cap, fill_value=cap)
+    posc = jnp.clip(pos, 0, cap - 1)
+    ok = pos < cap
+    coo = CooMatrix(
+        shape=(m, n),
+        rows=jnp.where(ok, rows[posc], m).astype(jnp.int32),
+        cols=jnp.where(ok, cols[posc], 0).astype(jnp.int32),
+        values=jnp.where(ok, folded[posc], init_a),
+        nnz=jnp.sum(keep).astype(jnp.int32),
+        fill=init_a,
+    )
+    return coo_to_csr(coo)
+
+
+def mxmT_masked(
+    mask: CsrMatrix,
+    A: CsrMatrix,
+    B: CsrMatrix,
+    op_mul,
+    op_add,
+    op_select,
+    init,
+    products_cap: int | None = None,
+    out_capacity: int | None = None,
+) -> CsrMatrix:
+    """R = (A * B^T) masked by `mask` (reference exec_mxmT_masked,
+    ``include/spla/exec.hpp:104-131``): for each mask entry (i, j) with
+    select(mask_x): R[i,j] = fold(add, init, mul(A[i,k], B[j,k]) over the
+    column intersection); entries equal to init are dropped."""
+    m, n = mask.shape
+    dtype = A.values.dtype
+    init_a = _scalar(init, dtype)
+    if products_cap is None:
+        products_cap = max(count_mxmT_products(mask, B), 1)
+
+    deg_b = jnp.diff(B.indptr)
+    mask_cols = jnp.clip(mask.cols, 0, max(B.shape[0] - 1, 0))
+    src, local, slot_valid = _expand_schedule(
+        deg_b[mask_cols], mask.valid_mask(), products_cap
+    )
+    i = mask.row_ids[src]  # output row
+    sel = op_select(mask.values[src])
+    b_pos = jnp.clip(B.indptr[mask_cols[src]] + local, 0, max(B.capacity - 1, 0))
+    kk = B.cols[b_pos]
+    b_val = B.values[b_pos]
+    # lookup A[i, kk]
+    i_c = jnp.clip(i, 0, max(m - 1, 0))
+    a_pos, found = rowwise_find(A.cols, A.indptr[i_c], A.indptr[i_c + 1], kk)
+    a_val = A.values[jnp.clip(a_pos, 0, max(A.capacity - 1, 0))]
+    prod = op_mul(a_val, b_val)
+    valid = slot_valid & sel & found
+
+    # segment = source mask entry (already sorted by construction)
+    seg_heads = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), src[1:] != src[:-1]]
+    )
+    scan_v, scan_h = segmented_scan_fold(prod, valid, seg_heads, op_add)
+    is_last = jnp.concatenate([seg_heads[1:], jnp.ones((1,), jnp.bool_)])
+    folded = op_add(jnp.full_like(scan_v, init_a), scan_v)
+    keep = is_last & scan_h & slot_valid & (folded != init_a)
+
+    rows = jnp.where(keep, i, m).astype(jnp.int32)
+    cols = jnp.where(keep, mask.cols[src], 0).astype(jnp.int32)
+
+    cap = products_cap
+    out_cap = out_capacity if out_capacity is not None else min(cap, mask.capacity)
+    (pos,) = jnp.nonzero(keep, size=out_cap, fill_value=cap)
+    posc = jnp.clip(pos, 0, cap - 1)
+    ok = pos < cap
+    coo = CooMatrix(
+        shape=(m, n),
+        rows=jnp.where(ok, rows[posc], m).astype(jnp.int32),
+        cols=jnp.where(ok, cols[posc], 0).astype(jnp.int32),
+        values=jnp.where(ok, folded[posc], init_a),
+        nnz=jnp.sum(keep).astype(jnp.int32),
+        fill=init_a,
+    )
+    return coo_to_csr(coo)

@@ -1,0 +1,30 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's "same test body, CPU or GPU backend" strategy
+(reference ``tests/test_common.hpp:66-89``): the jnp CPU execution acts as
+the reference backend; compiled-TPU and Pallas-interpret paths are
+exercised by the same tests when hardware is present.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
+# (must happen before any backend is touched).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
