@@ -69,10 +69,12 @@ def segment_fold(values, seg_ids, valid, num_segments, op, init, sorted_ids=True
     """
     k = values.shape[0]
     init = jnp.asarray(init, dtype=values.dtype)
-    seg_ids = jnp.where(valid, seg_ids, num_segments)
 
     scatter = getattr(op, "scatter", None)
     if scatter is not None:
+        # invalid entries go to the dump segment (only safe here: the
+        # generic path below relies on seg_ids staying sorted)
+        seg_ids = jnp.where(valid, seg_ids, num_segments)
         out = jnp.full((num_segments + 1,), init, dtype=values.dtype)
         safe_vals = _scatter_neutral(values, valid, scatter)
         if scatter == "add":

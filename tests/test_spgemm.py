@@ -1,0 +1,77 @@
+"""SpGEMM tests (model: reference test_mxm.cpp / test_mxmT.cpp)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from spla_tpu import op, formats as F
+from spla_tpu.ops import count_mxm_products, m_reduce, mxm, mxmT_masked
+
+
+def rand_csr(m, n, density, seed, dtype=np.float32):
+    a = sp.random(m, n, density=density, random_state=seed, dtype=dtype)
+    return a, F.csr_from_scipy(a)
+
+
+def test_mxm_vs_scipy():
+    a, ac = rand_csr(20, 30, 0.15, 1)
+    b, bc = rand_csr(30, 25, 0.15, 2)
+    r = mxm(ac, bc, op.MULT_FLOAT, op.PLUS_FLOAT, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(F.csr_to_dense(r)), (a @ b).toarray(), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_mxm_identity_sparsification():
+    # accumulated values == init are not stored (cpu_mxm.hpp R_tmp[j] != I)
+    a = F.csr_from_entries((2, 2), [0, 0], [0, 1], [1.0, -1.0], fill=0.0)
+    b = F.csr_from_entries((2, 2), [0, 1], [0, 0], [1.0, 1.0], fill=0.0)
+    r = mxm(a, b, op.MULT_FLOAT, op.PLUS_FLOAT, 0.0)
+    # R[0,0] = 1 - 1 = 0 == init → dropped
+    assert int(r.nnz) == 0
+
+
+def test_mxm_min_plus():
+    # tropical semiring SpGEMM (all-pairs-shortest-path step)
+    inf = np.float32(np.inf)
+    a = F.csr_from_entries((2, 2), [0, 1], [1, 0], [3.0, 4.0], fill=inf)
+    r = mxm(a, a, op.PLUS_FLOAT, op.MIN_FLOAT, inf)
+    d = np.asarray(F.csr_to_dense(r))
+    assert d[0, 0] == 7.0 and d[1, 1] == 7.0
+    assert int(r.nnz) == 2
+
+
+def test_mxm_explicit_caps():
+    a, ac = rand_csr(10, 10, 0.3, 3)
+    cap = count_mxm_products(ac, ac)
+    r = mxm(ac, ac, op.MULT_FLOAT, op.PLUS_FLOAT, 0.0, products_cap=cap + 17)
+    np.testing.assert_allclose(
+        np.asarray(F.csr_to_dense(r)), (a @ a).toarray(), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_mxmT_masked_vs_dense():
+    a, ac = rand_csr(15, 12, 0.25, 4)
+    b, bc = rand_csr(15, 12, 0.25, 5)
+    mask, mc = rand_csr(15, 15, 0.3, 6)
+    r = mxmT_masked(mc, ac, bc, op.MULT_FLOAT, op.PLUS_FLOAT, op.GTZERO_FLOAT, 0.0)
+    full = (a @ b.T).toarray()
+    sel = mask.toarray() > 0
+    expect = np.where(sel, full, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(F.csr_to_dense(r)), expect, rtol=1e-4, atol=1e-6
+    )
+
+
+def test_triangle_counting_semantics():
+    # triangle: 0-1-2; plus dangling edge 2-3
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = F.csr_from_entries((4, 4), rows, cols, np.ones(8, np.int32), fill=0, dtype=np.int32)
+    B = mxmT_masked(A, A, A, op.MULT_INT, op.PLUS_INT, op.GTZERO_INT, 0)
+    total = int(m_reduce(0, B, op.PLUS_INT).value)
+    # undirected full-adjacency count = 6 * n_triangles
+    assert total == 6
