@@ -33,7 +33,13 @@ from ..containers import CsrMatrix, DenseVec, Scalar, SparseVec
 from ..formats import dense_to_sparse_vec
 from ..utils.segments import segment_fold
 
-__all__ = ["masked_spmv", "mxv_masked", "vxm_masked", "masked_spmv_structural"]
+__all__ = [
+    "masked_spmv",
+    "mxv_masked",
+    "vxm_masked",
+    "masked_spmv_structural",
+    "best_spmv_fn",
+]
 
 
 def _scalar(x, dtype):
@@ -91,6 +97,34 @@ def masked_spmv_structural(
     if mask_sel is not None:
         reached = reached & mask_sel
     return reached
+
+
+def best_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
+    """Return the fastest available unmasked-SpMV callable
+    ``f(A, x) -> vals`` for this matrix/semiring: the Pallas TPU kernel
+    when running on TPU hardware and the semiring is covered, else the
+    XLA gather+segment path (which is also the CPU reference backend)."""
+    try:
+        import jax
+
+        on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu:
+        try:
+            from ..pallas.spmv import pallas_spmv_fn
+
+            fn = pallas_spmv_fn(A, op_mul, op_add, init)
+            if fn is not None:
+                return fn
+        except ImportError:
+            pass
+
+    def xla_fn(A, x):
+        out, _ = masked_spmv(A, x, op_mul, op_add, init)
+        return out
+
+    return xla_fn
 
 
 def mxv_masked(

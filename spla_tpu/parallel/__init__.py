@@ -1,0 +1,30 @@
+"""Distributed layer: mesh setup, block-row sharded CSR, collective SpMV
+and distributed graph algorithms.
+
+The reference is single-process/single-device (SURVEY §2.8 — its only
+"communication backend" is host↔device buffer copies inside format
+converters).  This layer is new capability mandated by BASELINE.json's
+north star: row-partitioned matrices per chip, frontier/halo vectors
+exchanged with ``jax.lax`` collectives over ICI, ``jax.sharding.Mesh`` +
+``shard_map`` as the first-class communication backend.
+"""
+
+from .mesh import make_device_mesh
+from .dist_matrix import ShardedCsr, shard_csr_by_rows, shard_vector_by_rows
+from .dist_ops import (
+    dist_bfs,
+    dist_masked_spmv,
+    dist_pagerank,
+    dist_sssp,
+)
+
+__all__ = [
+    "make_device_mesh",
+    "ShardedCsr",
+    "shard_csr_by_rows",
+    "shard_vector_by_rows",
+    "dist_masked_spmv",
+    "dist_pagerank",
+    "dist_bfs",
+    "dist_sssp",
+]

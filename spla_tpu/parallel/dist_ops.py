@@ -1,0 +1,199 @@
+"""Distributed masked SpMV and graph algorithms over a device mesh.
+
+1-D row decomposition: each chip owns ``mloc`` matrix rows (its output
+slots); the input vector is gathered across the axis per step
+(``lax.all_gather`` rides ICI intra-slice, DCN across hosts).  The
+convergence loops run *inside* ``shard_map`` as ``lax.while_loop``s whose
+carried count/error scalars are ``psum``-replicated — uniform loop exit
+across chips with zero host round-trips per iteration (the reference
+syncs a counter to the host every level, ``src/algorithm.cpp:112``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from .. import op as OP
+from ..containers import CsrMatrix
+from ..ops.spmv import masked_spmv, masked_spmv_structural
+from .dist_matrix import ShardedCsr
+
+__all__ = ["dist_masked_spmv", "dist_pagerank", "dist_bfs", "dist_sssp"]
+
+
+def _arrays(sc: ShardedCsr):
+    return (sc.indptr, sc.cols, sc.values, sc.row_ids, sc.nnz, sc.fill)
+
+
+_ARR_SPECS = (P("d"), P("d"), P("d"), P("d"), P("d"), P())
+
+
+def _local(sc: ShardedCsr, arrs) -> CsrMatrix:
+    """Assemble the local shard block inside shard_map (leading shard axis
+    arrives with local size 1)."""
+    indptr, cols, values, row_ids, nnz, fill = arrs
+    padded_n = sc.n_shards * sc.mloc
+    return CsrMatrix(
+        shape=(sc.mloc, padded_n),
+        indptr=indptr[0],
+        cols=cols[0],
+        values=values[0],
+        row_ids=row_ids[0],
+        nnz=nnz[0],
+        fill=fill,
+    )
+
+
+def dist_masked_spmv(mesh: Mesh, A: ShardedCsr, x, op_mul, op_add, init, axis="d"):
+    """r = A x over the (op_mul, op_add) semiring; x and r row-sharded
+    [S, mloc].  The all-gather of x is the halo exchange."""
+
+    def step(*args):
+        *arrs, x_loc = args
+        a = _local(A, arrs)
+        x_full = lax.all_gather(x_loc[0], axis, tiled=True)
+        out, _ = masked_spmv(a, x_full, op_mul, op_add, init)
+        return out[None]
+
+    f = jax.shard_map(
+        step, mesh=mesh, in_specs=(*_ARR_SPECS, P(axis)), out_specs=P(axis)
+    )
+    return jax.jit(f)(*_arrays(A), x)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards"))
+def _dist_pagerank_impl(mesh, arrs, alpha, eps, n, mloc, n_shards, axis):
+    def step(*arrs):
+        a = CsrMatrix(
+            shape=(mloc, n_shards * mloc),
+            indptr=arrs[0][0], cols=arrs[1][0], values=arrs[2][0],
+            row_ids=arrs[3][0], nnz=arrs[4][0], fill=arrs[5],
+        )
+        my = lax.axis_index(axis)
+        addition = (1.0 - alpha) / n
+        gids = my * mloc + jnp.arange(mloc, dtype=jnp.int32)
+        live = gids < n
+        p0 = jnp.where(live, jnp.full((mloc,), 1.0 / n, jnp.float32), 0.0)
+
+        def cond(state):
+            return state[1] > eps
+
+        def body(state):
+            p_prev, _ = state
+            p_full = lax.all_gather(p_prev, axis, tiled=True)
+            ap, _ = masked_spmv(a, p_full, OP.MULT_FLOAT, OP.PLUS_FLOAT, jnp.float32(0))
+            p = jnp.where(live, ap + addition, 0.0)
+            err2 = lax.psum(jnp.sum((p - p_prev) ** 2), axis)
+            return (p, jnp.sqrt(err2))
+
+        p, _ = lax.while_loop(cond, body, (p0, jnp.float32(eps) + 0.1))
+        return p[None]
+
+    f = jax.shard_map(step, mesh=mesh, in_specs=_ARR_SPECS, out_specs=P(axis))
+    return f(*arrs)
+
+
+def dist_pagerank(mesh: Mesh, A: ShardedCsr, alpha, eps, axis="d"):
+    """Distributed PageRank (semantics of reference
+    ``src/algorithm.cpp:278-335``; A pre-scaled alpha/outdeg); returns p
+    row-sharded [S, mloc]."""
+    return _dist_pagerank_impl(
+        mesh, _arrays(A), jnp.float32(alpha), jnp.float32(eps),
+        A.shape[0], A.mloc, A.n_shards, axis,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards"))
+def _dist_bfs_impl(mesh, arrs, source, n, mloc, n_shards, axis):
+    def step(*arrs):
+        a = CsrMatrix(
+            shape=(mloc, n_shards * mloc),
+            indptr=arrs[0][0], cols=arrs[1][0], values=arrs[2][0],
+            row_ids=arrs[3][0], nnz=arrs[4][0], fill=arrs[5],
+        )
+        my = lax.axis_index(axis)
+        gids = my * mloc + jnp.arange(mloc, dtype=jnp.int32)
+        # mark the carry as device-varying for shard_map's vma typing
+        v0 = lax.pcast(jnp.zeros((mloc,), jnp.int32), (axis,), to="varying")
+        front0 = gids == source
+
+        def cond(state):
+            return state[3] > 0
+
+        def body(state):
+            v, front, depth, _ = state
+            v = jnp.where(front, depth, v)
+            front_full = lax.all_gather(front, axis, tiled=True)
+            front_new = masked_spmv_structural(a, front_full, v == 0)
+            count = lax.psum(jnp.sum(front_new).astype(jnp.int32), axis)
+            return (v, front_new, depth + 1, count)
+
+        v, _, _, _ = lax.while_loop(
+            cond, body, (v0, front0, jnp.int32(1), jnp.int32(1))
+        )
+        return v[None]
+
+    f = jax.shard_map(step, mesh=mesh, in_specs=_ARR_SPECS, out_specs=P(axis))
+    return f(*arrs)
+
+
+def dist_bfs(mesh: Mesh, At: ShardedCsr, source, axis="d"):
+    """Distributed BFS over the transpose-sharded adjacency: frontier
+    all-gathered each level (the halo exchange); depths row-sharded."""
+    return _dist_bfs_impl(
+        mesh, _arrays(At), jnp.asarray(source, jnp.int32),
+        At.shape[0], At.mloc, At.n_shards, axis,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards"))
+def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis):
+    inf = jnp.float32(jnp.inf)
+
+    def step(*arrs):
+        a = CsrMatrix(
+            shape=(mloc, n_shards * mloc),
+            indptr=arrs[0][0], cols=arrs[1][0], values=arrs[2][0],
+            row_ids=arrs[3][0], nnz=arrs[4][0], fill=arrs[5],
+        )
+        my = lax.axis_index(axis)
+        gids = my * mloc + jnp.arange(mloc, dtype=jnp.int32)
+        is_src = gids == source
+        v0 = jnp.where(is_src, 0.0, inf)
+
+        def cond(state):
+            return state[2] > 0
+
+        def body(state):
+            v, fdb_valid, _ = state
+            v_full = lax.all_gather(v, axis, tiled=True)
+            valid_full = lax.all_gather(fdb_valid, axis, tiled=True)
+            frontier, _ = masked_spmv(
+                a, v_full, lambda aa, xx: xx + aa, OP.MIN_FLOAT, inf,
+                x_valid=valid_full,
+            )
+            new_v = jnp.minimum(v, frontier)
+            changed = new_v != v
+            count = lax.psum(jnp.sum(changed).astype(jnp.int32), axis)
+            return (new_v, changed, count)
+
+        v, _, _ = lax.while_loop(cond, body, (v0, is_src, jnp.int32(1)))
+        return v[None]
+
+    f = jax.shard_map(step, mesh=mesh, in_specs=_ARR_SPECS, out_specs=P(axis))
+    return f(*arrs)
+
+
+def dist_sssp(mesh: Mesh, At: ShardedCsr, source, axis="d"):
+    """Distributed SSSP: min-plus relaxation, feedback mask all-gathered
+    per round."""
+    return _dist_sssp_impl(
+        mesh, _arrays(At), jnp.asarray(source, jnp.int32),
+        At.shape[0], At.mloc, At.n_shards, axis,
+    )
