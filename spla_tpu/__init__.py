@@ -14,7 +14,30 @@ kernels, ``lax.while_loop`` convergence (no host sync), and
 from . import op, ops
 from .containers import BsrMatrix, CooMatrix, CsrMatrix, DenseVec, Scalar, SparseVec
 from .descriptor import Descriptor
+from .library import Library, get_library
+from .schedule import Schedule, ScheduleTask, make_schedule
 from .types import BOOL, FLOAT, INT, UINT, Type, type_from_dtype
+
+
+def __getattr__(name):
+    # heavier subsystems lazily (facade pulls in the whole op layer)
+    if name in ("Matrix", "Vector", "Array"):
+        from . import facade
+
+        return getattr(facade, name)
+    if name == "MtxLoader":
+        from .io import MtxLoader
+
+        return MtxLoader
+    if name == "algorithms":
+        from . import algorithms
+
+        return algorithms
+    if name == "parallel":
+        from . import parallel
+
+        return parallel
+    raise AttributeError(f"module 'spla_tpu' has no attribute {name!r}")
 
 __version__ = "0.1.0"
 

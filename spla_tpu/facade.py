@@ -1,0 +1,675 @@
+"""pyspla-compatible object API: Matrix, Vector, Scalar, Array.
+
+Mirrors the reference Python package surface (``python/pyspla/matrix.py``,
+``vector.py``, ``scalar.py``, ``array.py``): eager execution, the same
+method names/signatures (mxm, mxmT, kron, kronpow, mxv, vxm, eadd, emult,
+reduce*, transpose, extract*, assign, map, ...), from_lists/rand/dense/
+diag constructors, and pretty-printers.
+
+TPU-native architecture difference: instead of the reference's mutable
+multi-format decoration storage with a BFS conversion graph
+(``src/storage/storage_manager.hpp:128-204``), each object keeps
+
+* a *host staging buffer* (numpy COO triplets) absorbing ``set``/``build``
+  mutations — the analog of the CpuLil/CpuDok write formats
+  (``src/core/tmatrix.hpp:160-173``), and
+* a cached *device snapshot* (frozen pytree CSR / dense vec, plus the
+  transpose orientation for push ops), rebuilt lazily on first compute
+  after a mutation — the analog of the Cpu->Acc converters.
+
+All compute dispatches to the functional op layer (``spla_tpu.ops``);
+``jax.jit`` tracing replaces the reference's registry/dispatcher.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import op as OP
+from .containers import CsrMatrix, DenseVec, Scalar as CoreScalar, SparseVec
+from .descriptor import Descriptor
+from . import formats as F
+from . import ops as X
+from .types import BOOL, FLOAT, INT, UINT, Type, type_from_dtype
+
+__all__ = ["Matrix", "Vector", "Scalar", "Array"]
+
+
+def _op_or_default(op, default):
+    return default if op is None else op
+
+
+def _zero(dtype):
+    return np.zeros((), dtype)[()]
+
+
+class Scalar:
+    """Typed scalar (reference ``python/pyspla/scalar.py``)."""
+
+    def __init__(self, value=None, dtype: Type = INT):
+        self._dtype = dtype
+        self._value = dtype.np_dtype.type(0 if value is None else value)
+
+    @classmethod
+    def make(cls, dtype: Type = INT, value=None):
+        return cls(value, dtype)
+
+    @classmethod
+    def make_int(cls, value=0):
+        return cls(value, INT)
+
+    @classmethod
+    def make_uint(cls, value=0):
+        return cls(value, UINT)
+
+    @classmethod
+    def make_float(cls, value=0.0):
+        return cls(value, FLOAT)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def shape(self):
+        return ()
+
+    def set(self, value):
+        self._value = self._dtype.np_dtype.type(value)
+
+    def get(self):
+        return self._value.item()
+
+    def as_int(self):
+        return int(self._value)
+
+    def as_uint(self):
+        return int(self._value)
+
+    def as_float(self):
+        return float(self._value)
+
+    def as_bool(self):
+        return bool(self._value)
+
+    def __int__(self):
+        return int(self._value)
+
+    def __float__(self):
+        return float(self._value)
+
+    def __bool__(self):
+        return bool(self._value)
+
+    def __eq__(self, other):
+        return self.get() == (other.get() if isinstance(other, Scalar) else other)
+
+    def __add__(self, other):
+        return Scalar(self.get() + _sval(other), self._dtype)
+
+    def __sub__(self, other):
+        return Scalar(self.get() - _sval(other), self._dtype)
+
+    def __mul__(self, other):
+        return Scalar(self.get() * _sval(other), self._dtype)
+
+    def __truediv__(self, other):
+        return Scalar(self.get() / _sval(other), self._dtype)
+
+    def __repr__(self):
+        return f"{self.get()}"
+
+    __str__ = __repr__
+
+
+def _sval(x):
+    return x.get() if isinstance(x, Scalar) else x
+
+
+class Array:
+    """Dense typed 1-D array for construction/inspection (reference
+    ``python/pyspla/array.py``)."""
+
+    def __init__(self, dtype: Type = INT, label=None):
+        self._dtype = dtype
+        self._data = np.zeros(0, dtype.np_dtype)
+        self.label = label
+
+    @classmethod
+    def from_list(cls, values, dtype: Type = INT):
+        a = cls(dtype)
+        a._data = np.asarray(values, dtype.np_dtype)
+        return a
+
+    @classmethod
+    def rand(cls, dtype: Type = INT, n=1, seed=None, dist=(0, 1)):
+        rng = np.random.default_rng(seed)
+        a = cls(dtype)
+        if dtype.is_float():
+            a._data = rng.uniform(dist[0], dist[1], n).astype(dtype.np_dtype)
+        else:
+            a._data = rng.integers(dist[0], dist[1] + 1, n).astype(dtype.np_dtype)
+        return a
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def n_values(self):
+        return int(self._data.size)
+
+    @property
+    def empty(self):
+        return self._data.size == 0
+
+    @property
+    def shape(self):
+        return (self.n_values, 1)
+
+    def set(self, index, value):
+        self._data[index] = value
+
+    def get(self, index):
+        return self._data[index].item()
+
+    def resize(self, n):
+        old = self._data
+        self._data = np.zeros(n, self._dtype.np_dtype)
+        self._data[: min(n, old.size)] = old[: min(n, old.size)]
+
+    def clear(self):
+        self._data = np.zeros(0, self._dtype.np_dtype)
+
+    def to_list(self):
+        return self._data.tolist()
+
+    def to_numpy(self):
+        return self._data.copy()
+
+    def __iter__(self):
+        return iter(self.to_list())
+
+    def __repr__(self):
+        return "[" + ", ".join(str(v) for v in self.to_list()) + "]"
+
+    __str__ = __repr__
+
+
+class Vector:
+    """Generalized n-vector (reference ``python/pyspla/vector.py``)."""
+
+    def __init__(self, shape, dtype: Type = INT, label=None):
+        n = shape[0] if isinstance(shape, (tuple, list)) else int(shape)
+        self._n = int(n)
+        self._dtype = dtype
+        self._fill = _zero(dtype.np_dtype)
+        self._idx = np.zeros(0, np.int64)
+        self._val = np.zeros(0, dtype.np_dtype)
+        self._reduce_fn = None
+        self._dense_cache = None
+        self.label = label
+
+    # -- properties ------------------------------------------------------
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def n_rows(self):
+        return self._n
+
+    @property
+    def shape(self):
+        return (self._n, 1)
+
+    @property
+    def fill_value(self):
+        return Scalar(self._fill, self._dtype)
+
+    def set_fill_value(self, value):
+        self._fill = self._dtype.np_dtype.type(_sval(value))
+        self._dense_cache = None
+
+    def set_format(self, fmt):  # storage hint — formats are implicit here
+        pass
+
+    def set_reduce(self, op):
+        self._reduce_fn = op
+
+    # -- mutation (host staging) ------------------------------------------
+    def set(self, i, v):
+        self._idx = np.append(self._idx, i)
+        self._val = np.append(self._val, self._dtype.np_dtype.type(v))
+        self._dense_cache = None
+
+    def get(self, i):
+        d = np.asarray(self._device().values)
+        return d[i].item()
+
+    def build(self, view_I, view_V):
+        self._idx = np.asarray(view_I, np.int64).copy()
+        self._val = np.asarray(view_V, self._dtype.np_dtype).copy()
+        self._dense_cache = None
+
+    def read(self):
+        d = np.asarray(self._device().values)
+        idx = np.nonzero(d != self._fill)[0]
+        return idx, d[idx]
+
+    def clear(self):
+        self._idx = np.zeros(0, np.int64)
+        self._val = np.zeros(0, self._dtype.np_dtype)
+        self._dense_cache = None
+
+    def fill_with(self, value):
+        self.clear()
+        self.set_fill_value(value)
+
+    def fill_noize(self, seed=None):
+        rng = np.random.default_rng(seed)
+        self._idx = np.arange(self._n)
+        self._val = (
+            rng.uniform(0, 1, self._n).astype(self._dtype.np_dtype)
+            if self._dtype.is_float()
+            else rng.integers(0, 100, self._n).astype(self._dtype.np_dtype)
+        )
+        self._dense_cache = None
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def from_lists(cls, I, V, shape, dtype: Type = INT, fill_value=0):
+        v = cls(shape, dtype)
+        v._fill = dtype.np_dtype.type(fill_value)
+        v._idx = np.asarray(I, np.int64)
+        v._val = np.asarray(V, dtype.np_dtype)
+        return v
+
+    @classmethod
+    def rand(cls, shape, dtype: Type = INT, density=0.1, seed=None, dist=(0, 1)):
+        n = shape[0] if isinstance(shape, (tuple, list)) else int(shape)
+        rng = np.random.default_rng(seed)
+        k = max(int(n * density), 0)
+        idx = np.unique(rng.integers(0, n, k)) if k else np.zeros(0, np.int64)
+        if dtype.is_float():
+            vals = rng.uniform(dist[0], dist[1], idx.size)
+        else:
+            vals = rng.integers(dist[0], dist[1] + 1, idx.size)
+        return cls.from_lists(idx, vals.astype(dtype.np_dtype), n, dtype)
+
+    @classmethod
+    def dense(cls, shape, dtype: Type = INT, fill_value=0):
+        n = shape[0] if isinstance(shape, (tuple, list)) else int(shape)
+        v = cls(n, dtype)
+        v._idx = np.arange(n)
+        v._val = np.full(n, fill_value, dtype.np_dtype)
+        return v
+
+    # -- device snapshot ----------------------------------------------------
+    def _device(self) -> DenseVec:
+        if self._dense_cache is None:
+            reduce_fn = self._reduce_fn.fn if self._reduce_fn else None
+            self._dense_cache = F.dense_vec_from_entries(
+                self._n, self._idx, self._val, fill=self._fill,
+                dtype=self._dtype.np_dtype, reduce_fn=reduce_fn,
+            )
+        return self._dense_cache
+
+    def _adopt(self, dv: DenseVec):
+        """Replace contents with a device vector (eager result write-back)."""
+        self._dense_cache = dv
+        d = np.asarray(dv.values)
+        self._fill = np.asarray(dv.fill)[()].astype(self._dtype.np_dtype)
+        stored = np.nonzero(d != self._fill)[0]
+        self._idx = stored
+        self._val = d[stored].astype(self._dtype.np_dtype)
+        return self
+
+    def to_numpy(self):
+        return np.asarray(self._device().values)
+
+    def to_lists(self):
+        i, v = self.read()
+        return i.tolist(), v.tolist()
+
+    def to_list(self):
+        i, v = self.read()
+        return list(zip(i.tolist(), v.tolist()))
+
+    def to_string(self, format_string="{:>%s}", width=2, precision=2, skip_value=0):
+        d = self.to_numpy()
+        fmt = format_string % max(width, 1)
+        return "".join(
+            fmt.format(_fmt_val(x, precision)) for x in d
+        )
+
+    # -- compute ops (eager, functional core) -------------------------------
+    def vxm(self, mask, M: "Matrix", op_mult, op_add, op_select,
+            out=None, init=None, desc=None):
+        init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
+        r = X.vxm_masked(
+            mask._device(), self._device(), M._device_t(),
+            op_mult, op_add, op_select, init_v, desc,
+        )
+        res = out if out is not None else Vector(M.n_cols, self._dtype)
+        return res._adopt(F.sparse_to_dense_vec(r))
+
+    def eadd(self, op_add, v: "Vector", out=None, desc=None):
+        r = X.v_eadd(self._device(), v._device(), op_add)
+        res = out if out is not None else Vector(self._n, self._dtype)
+        return res._adopt(r if isinstance(r, DenseVec) else F.sparse_to_dense_vec(r))
+
+    def emult(self, op_mult, v: "Vector", out=None, desc=None):
+        r = X.v_emult(self._device(), v._device(), op_mult)
+        res = out if out is not None else Vector(self._n, self._dtype)
+        return res._adopt(r if isinstance(r, DenseVec) else F.sparse_to_dense_vec(r))
+
+    def assign(self, mask, value, op_assign, op_select, desc=None):
+        r = X.v_assign_masked(
+            self._device(), mask._device(), _sval(value), op_assign, op_select
+        )
+        return self._adopt(r)
+
+    def map(self, op_map, out=None, desc=None):
+        r = X.v_map(self._device(), op_map)
+        res = out if out is not None else Vector(self._n, self._dtype)
+        return res._adopt(r)
+
+    def reduce(self, op_reduce, out=None, init=None, desc=None):
+        init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
+        # reference sparse reduce folds stored entries only
+        sv = F.dense_to_sparse_vec(self._device())
+        r = X.v_reduce(init_v, sv, op_reduce)
+        res = out if out is not None else Scalar(dtype=self._dtype)
+        res.set(np.asarray(r.value)[()])
+        return res
+
+    def count_mf(self):
+        return int(np.asarray(X.v_count_mf(self._device()).value))
+
+    def __str__(self):
+        return self.to_string()
+
+    def __iter__(self):
+        return iter(self.to_list())
+
+
+def _fmt_val(x, precision):
+    if isinstance(x, (np.floating, float)):
+        return f"{x:.{precision}f}"
+    return str(x)
+
+
+class Matrix:
+    """Generalized M x N matrix (reference ``python/pyspla/matrix.py``)."""
+
+    def __init__(self, shape, dtype: Type = INT, label=None):
+        self._shape = (int(shape[0]), int(shape[1]))
+        self._dtype = dtype
+        self._fill = _zero(dtype.np_dtype)
+        self._rows = np.zeros(0, np.int64)
+        self._cols = np.zeros(0, np.int64)
+        self._vals = np.zeros(0, dtype.np_dtype)
+        self._reduce_fn = None
+        self._csr_cache = None
+        self._csr_t_cache = None
+        self.label = label
+
+    # -- properties -------------------------------------------------------
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def n_rows(self):
+        return self._shape[0]
+
+    @property
+    def n_cols(self):
+        return self._shape[1]
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def fill_value(self):
+        return Scalar(self._fill, self._dtype)
+
+    def set_fill_value(self, value):
+        self._fill = self._dtype.np_dtype.type(_sval(value))
+        self._invalidate()
+
+    def set_format(self, fmt):
+        pass
+
+    def set_reduce(self, op):
+        self._reduce_fn = op
+
+    def _invalidate(self):
+        self._csr_cache = None
+        self._csr_t_cache = None
+
+    # -- mutation -----------------------------------------------------------
+    def set(self, i, j, v):
+        self._rows = np.append(self._rows, i)
+        self._cols = np.append(self._cols, j)
+        self._vals = np.append(self._vals, self._dtype.np_dtype.type(v))
+        self._invalidate()
+
+    set_int = set
+    set_uint = set
+    set_float = set
+
+    def get(self, i, j):
+        d = np.asarray(F.csr_to_dense(self._device()))
+        return d[i, j].item()
+
+    def build(self, view_I, view_J, view_V):
+        self._rows = np.asarray(view_I, np.int64).copy()
+        self._cols = np.asarray(view_J, np.int64).copy()
+        self._vals = np.asarray(view_V, self._dtype.np_dtype).copy()
+        self._invalidate()
+
+    def read(self):
+        A = self._device()
+        nnz = int(np.asarray(A.nnz))
+        return (
+            np.asarray(A.row_ids)[:nnz],
+            np.asarray(A.cols)[:nnz],
+            np.asarray(A.values)[:nnz],
+        )
+
+    def clear(self):
+        self._rows = np.zeros(0, np.int64)
+        self._cols = np.zeros(0, np.int64)
+        self._vals = np.zeros(0, self._dtype.np_dtype)
+        self._invalidate()
+
+    # -- constructors ---------------------------------------------------------
+    @classmethod
+    def from_lists(cls, I, J, V, shape, dtype: Type = INT):
+        m = cls(shape, dtype)
+        m._rows = np.asarray(I, np.int64)
+        m._cols = np.asarray(J, np.int64)
+        m._vals = np.asarray(V, dtype.np_dtype)
+        return m
+
+    @classmethod
+    def rand(cls, shape, dtype: Type = INT, density=0.1, seed=None, dist=(0, 1)):
+        rng = np.random.default_rng(seed)
+        mr, nc = shape
+        k = int(mr * nc * density)
+        rows = rng.integers(0, mr, k)
+        cols = rng.integers(0, nc, k)
+        keys = np.unique(rows * nc + cols)
+        rows, cols = keys // nc, keys % nc
+        if dtype.is_float():
+            vals = rng.uniform(dist[0], dist[1], rows.size)
+        else:
+            vals = rng.integers(dist[0], dist[1] + 1, rows.size)
+        return cls.from_lists(rows, cols, vals.astype(dtype.np_dtype), shape, dtype)
+
+    @classmethod
+    def dense(cls, shape, dtype: Type = INT, fill_value=0):
+        mr, nc = shape
+        rows, cols = np.divmod(np.arange(mr * nc), nc)
+        vals = np.full(mr * nc, fill_value, dtype.np_dtype)
+        return cls.from_lists(rows, cols, vals, shape, dtype)
+
+    @classmethod
+    def diag(cls, shape, dtype: Type = INT, diag_value=1):
+        k = min(shape)
+        idx = np.arange(k)
+        return cls.from_lists(
+            idx, idx, np.full(k, diag_value, dtype.np_dtype), shape, dtype
+        )
+
+    # -- device snapshots -------------------------------------------------------
+    def _device(self) -> CsrMatrix:
+        if self._csr_cache is None:
+            reduce_fn = self._reduce_fn.fn if self._reduce_fn else None
+            self._csr_cache = F.csr_from_entries(
+                self._shape, self._rows, self._cols, self._vals,
+                fill=self._fill, dtype=self._dtype.np_dtype, reduce_fn=reduce_fn,
+            )
+        return self._csr_cache
+
+    def _device_t(self) -> CsrMatrix:
+        if self._csr_t_cache is None:
+            self._csr_t_cache = F.csr_transpose_host(self._device())
+        return self._csr_t_cache
+
+    def _adopt(self, A: CsrMatrix):
+        self._csr_cache = A
+        self._csr_t_cache = None
+        nnz = int(np.asarray(A.nnz))
+        self._rows = np.asarray(A.row_ids)[:nnz].astype(np.int64)
+        self._cols = np.asarray(A.cols)[:nnz].astype(np.int64)
+        self._vals = np.asarray(A.values)[:nnz].astype(self._dtype.np_dtype)
+        self._fill = np.asarray(A.fill)[()].astype(self._dtype.np_dtype)
+        self._shape = A.shape
+        return self
+
+    def to_numpy(self):
+        return np.asarray(F.csr_to_dense(self._device()))
+
+    def to_lists(self):
+        r, c, v = self.read()
+        return r.tolist(), c.tolist(), v.tolist()
+
+    def to_list(self):
+        r, c, v = self.read()
+        return list(zip(r.tolist(), c.tolist(), v.tolist()))
+
+    def to_string(self, format_string="{:>%s}", width=2, precision=2,
+                  skip_value=0, cell_sep=""):
+        d = self.to_numpy()
+        fmt = format_string % max(width, 1)
+        lines = []
+        for row in d:
+            lines.append(
+                cell_sep.join(fmt.format(_fmt_val(x, precision)) for x in row)
+            )
+        return "\n".join(lines) + "\n"
+
+    # -- compute ops --------------------------------------------------------
+    def mxm(self, M: "Matrix", op_mult, op_add, out=None, init=None, desc=None):
+        init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
+        r = X.mxm(self._device(), M._device(), op_mult, op_add, init_v)
+        res = out if out is not None else Matrix((self.n_rows, M.n_cols), self._dtype)
+        return res._adopt(r)
+
+    def mxmT(self, mask: "Matrix", M: "Matrix", op_mult, op_add, op_select,
+             out=None, init=None, desc=None):
+        init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
+        r = X.mxmT_masked(
+            mask._device(), self._device(), M._device(),
+            op_mult, op_add, op_select, init_v,
+        )
+        res = out if out is not None else Matrix((self.n_rows, M.n_rows), self._dtype)
+        return res._adopt(r)
+
+    def kron(self, M: "Matrix", op_mult, out=None, desc=None):
+        r = X.kron(self._device(), M._device(), op_mult)
+        res = out if out is not None else Matrix(
+            (self.n_rows * M.n_rows, self.n_cols * M.n_cols), self._dtype
+        )
+        return res._adopt(r)
+
+    def kronpow(self, exponent, op_mult=None):
+        op_mult = _op_or_default(op_mult, OP.lookup("MULT", self._dtype))
+        if exponent == 0:
+            return Matrix.diag((1, 1), self._dtype, 1)
+        r = self
+        for _ in range(exponent - 1):
+            r = r.kron(self, op_mult)
+        return r
+
+    def mxv(self, mask: Vector, v: Vector, op_mult, op_add, op_select,
+            out=None, init=None, desc=None):
+        init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
+        r = X.mxv_masked(
+            mask._device(), self._device(), v._device(),
+            op_mult, op_add, op_select, init_v, desc,
+        )
+        res = out if out is not None else Vector(self.n_rows, self._dtype)
+        return res._adopt(r)
+
+    def eadd(self, op_add, M: "Matrix", out=None, desc=None):
+        r = X.m_eadd(self._device(), M._device(), op_add)
+        res = out if out is not None else Matrix(self._shape, self._dtype)
+        return res._adopt(r)
+
+    def emult(self, op_mult, M: "Matrix", out=None, desc=None):
+        r = X.m_emult(self._device(), M._device(), op_mult)
+        res = out if out is not None else Matrix(self._shape, self._dtype)
+        return res._adopt(r)
+
+    def reduce_by_row(self, op_reduce, out=None, init=None, desc=None):
+        init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
+        r = X.m_reduce_by_row(self._device(), op_reduce, init_v)
+        res = out if out is not None else Vector(self.n_rows, self._dtype)
+        return res._adopt(r)
+
+    def reduce_by_column(self, op_reduce, out=None, init=None, desc=None):
+        init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
+        r = X.m_reduce_by_column(self._device(), op_reduce, init_v)
+        res = out if out is not None else Vector(self.n_cols, self._dtype)
+        return res._adopt(r)
+
+    def reduce(self, op_reduce, out=None, init=None, desc=None):
+        init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
+        r = X.m_reduce(init_v, self._device(), op_reduce)
+        res = out if out is not None else Scalar(dtype=self._dtype)
+        res.set(np.asarray(r.value)[()])
+        return res
+
+    def transpose(self, out=None, op_apply=None, desc=None):
+        op_apply = _op_or_default(op_apply, OP.lookup("IDENTITY", self._dtype))
+        r = X.m_transpose(self._device(), op_apply)
+        res = out if out is not None else Matrix(
+            (self.n_cols, self.n_rows), self._dtype
+        )
+        return res._adopt(r)
+
+    def extract_row(self, index, out=None, op_apply=None, desc=None):
+        op_apply = _op_or_default(op_apply, OP.lookup("IDENTITY", self._dtype))
+        r = X.m_extract_row(self._device(), index, op_apply)
+        res = out if out is not None else Vector(self.n_cols, self._dtype)
+        return res._adopt(F.sparse_to_dense_vec(r))
+
+    def extract_column(self, index, out=None, op_apply=None, desc=None):
+        op_apply = _op_or_default(op_apply, OP.lookup("IDENTITY", self._dtype))
+        r = X.m_extract_column(self._device(), index, op_apply)
+        res = out if out is not None else Vector(self.n_rows, self._dtype)
+        return res._adopt(F.sparse_to_dense_vec(r))
+
+    def __str__(self):
+        return self.to_string()
+
+    def __iter__(self):
+        return iter(self.to_list())

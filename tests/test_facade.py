@@ -1,0 +1,151 @@
+"""pyspla-compatible API tests (model: reference tests/test_vector.cpp,
+test_matrix.cpp and the pyspla examples in python/example.py)."""
+
+import numpy as np
+import pytest
+
+from spla_tpu.facade import Array, Matrix, Scalar, Vector
+from spla_tpu.types import FLOAT, INT, UINT
+
+
+def test_scalar():
+    s = Scalar.make_int(5)
+    assert s.as_int() == 5 and s.as_float() == 5.0
+    assert (s + 2).as_int() == 7
+    assert Scalar.make_float(1.5).as_float() == 1.5
+
+
+def test_array():
+    a = Array.from_list([1, 2, 3], INT)
+    assert a.n_values == 3 and a.get(1) == 2
+    a.set(0, 9)
+    assert a.to_list() == [9, 2, 3]
+    a.resize(5)
+    assert a.n_values == 5 and a.get(0) == 9
+    assert not a.empty
+    a.clear()
+    assert a.empty
+
+
+def test_vector_set_get_build():
+    v = Vector(5, INT)
+    v.set(1, 10)
+    v.set(3, 30)
+    assert v.get(1) == 10 and v.get(3) == 30 and v.get(0) == 0
+    i, x = v.read()
+    np.testing.assert_array_equal(i, [1, 3])
+    v2 = Vector(4, FLOAT)
+    v2.build([0, 2], [1.5, 2.5])
+    assert v2.get(2) == 2.5
+
+
+def test_vector_duplicates_reduce():
+    v = Vector(4, INT)
+    v.set_reduce(INT.PLUS)
+    v.set(2, 5)
+    v.set(2, 7)
+    assert v.get(2) == 12
+
+
+def test_vector_eadd_emult_map_reduce():
+    u = Vector.from_lists([0, 2], [1, 2], 4, INT)
+    v = Vector.from_lists([2, 3], [10, 20], 4, INT)
+    r = u.eadd(INT.PLUS, v)
+    assert r.to_numpy().tolist() == [1, 0, 12, 20]
+    r2 = u.emult(INT.MULT, v)
+    assert r2.to_numpy().tolist() == [0, 0, 20, 0]
+    r3 = u.map(INT.AINV)
+    assert r3.to_numpy().tolist() == [-1, 0, -2, 0]
+    assert u.reduce(INT.PLUS).as_int() == 3
+    assert u.reduce(INT.PLUS, init=Scalar.make_int(100)).as_int() == 103
+
+
+def test_vector_assign_masked():
+    v = Vector.dense(4, INT, 0)
+    mask = Vector.from_lists([1, 3], [1, 1], 4, INT)
+    v.assign(mask, Scalar.make_int(7), INT.SECOND, INT.NQZERO)
+    assert v.to_numpy().tolist() == [0, 7, 0, 7]
+
+
+def test_matrix_basics():
+    M = Matrix((3, 3), INT)
+    M.set(0, 1, 5)
+    M.set(2, 0, 7)
+    assert M.get(0, 1) == 5 and M.get(1, 1) == 0
+    r, c, v = M.read()
+    assert len(r) == 2
+
+
+def test_matrix_mxv_and_vxm():
+    #  A = [[0,1,0],[0,0,2],[3,0,0]]
+    A = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3], (3, 3), INT)
+    v = Vector.from_lists([0, 1, 2], [1, 10, 100], 3, INT)
+    mask = Vector.dense(3, INT, 1)
+    r = A.mxv(mask, v, INT.MULT, INT.PLUS, INT.NQZERO)
+    assert r.to_numpy().tolist() == [10, 200, 3]
+    r2 = v.vxm(mask, A, INT.MULT, INT.PLUS, INT.NQZERO)
+    assert r2.to_numpy().tolist() == [300, 1, 20]
+
+
+def test_matrix_mxm():
+    A = Matrix.from_lists([0, 1], [1, 0], [2.0, 3.0], (2, 2), FLOAT)
+    r = A.mxm(A, FLOAT.MULT, FLOAT.PLUS)
+    np.testing.assert_allclose(r.to_numpy(), [[6.0, 0.0], [0.0, 6.0]])
+
+
+def test_matrix_kron_kronpow():
+    I2 = Matrix.diag((2, 2), INT, 1)
+    r = I2.kron(I2, INT.MULT)
+    np.testing.assert_array_equal(r.to_numpy(), np.eye(4, dtype=int))
+    r2 = I2.kronpow(3)
+    assert r2.shape == (8, 8)
+
+
+def test_matrix_reduce_transpose_extract():
+    A = Matrix.from_lists([0, 0, 1], [0, 2, 1], [1, 2, 3], (2, 3), INT)
+    assert A.reduce(INT.PLUS).as_int() == 6
+    rr = A.reduce_by_row(INT.PLUS)
+    assert rr.to_numpy().tolist() == [3, 3]
+    rc = A.reduce_by_column(INT.PLUS)
+    assert rc.to_numpy().tolist() == [1, 3, 2]
+    T = A.transpose()
+    assert T.shape == (3, 2) and T.get(2, 0) == 2
+    row = A.extract_row(0)
+    assert row.to_numpy().tolist() == [1, 0, 2]
+    col = A.extract_column(1)
+    assert col.to_numpy().tolist() == [0, 3]
+
+
+def test_matrix_eadd_emult():
+    A = Matrix.from_lists([0, 1], [0, 1], [1, 2], (2, 2), INT)
+    B = Matrix.from_lists([0, 1], [1, 1], [5, 6], (2, 2), INT)
+    np.testing.assert_array_equal(
+        A.eadd(INT.PLUS, B).to_numpy(), [[1, 5], [0, 8]]
+    )
+    np.testing.assert_array_equal(
+        A.emult(INT.MULT, B).to_numpy(), [[0, 0], [0, 12]]
+    )
+
+
+def test_matrix_mxmT_masked():
+    A = Matrix.from_lists([0, 0, 1], [0, 1, 1], [1, 2, 3], (2, 2), INT)
+    mask = Matrix.dense((2, 2), INT, 1)
+    r = A.mxmT(mask, A, INT.MULT, INT.PLUS, INT.GTZERO)
+    d = np.asarray(A.to_numpy())
+    np.testing.assert_array_equal(r.to_numpy(), d @ d.T)
+
+
+def test_pretty_print():
+    A = Matrix.from_lists([0], [1], [7], (2, 2), INT)
+    s = A.to_string(width=3)
+    assert "7" in s
+    v = Vector.from_lists([1], [3], 3, INT)
+    assert "3" in str(v)
+
+
+def test_rand_constructors():
+    M = Matrix.rand((10, 10), FLOAT, density=0.3, seed=1)
+    assert 0 < len(M.read()[0]) <= 100
+    v = Vector.rand(10, INT, density=0.5, seed=1, dist=(1, 5))
+    i, x = v.read()
+    assert np.all((x >= 1) & (x <= 5))
