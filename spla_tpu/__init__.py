@@ -21,22 +21,17 @@ from .types import BOOL, FLOAT, INT, UINT, Type, type_from_dtype
 
 def __getattr__(name):
     # heavier subsystems lazily (facade pulls in the whole op layer)
-    if name in ("Matrix", "Vector", "Array"):
-        from . import facade
+    import importlib
 
+    if name in ("Matrix", "Vector", "Array"):
+        facade = importlib.import_module(".facade", __name__)
         return getattr(facade, name)
     if name == "MtxLoader":
-        from .io import MtxLoader
-
-        return MtxLoader
-    if name == "algorithms":
-        from . import algorithms
-
-        return algorithms
-    if name == "parallel":
-        from . import parallel
-
-        return parallel
+        return importlib.import_module(".io", __name__).MtxLoader
+    if name == "Timer":
+        return importlib.import_module(".timer", __name__).Timer
+    if name in ("algorithms", "parallel", "io", "profiling", "timer", "facade"):
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module 'spla_tpu' has no attribute {name!r}")
 
 __version__ = "0.1.0"
