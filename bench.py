@@ -8,9 +8,13 @@ means the target is met.
 
 Traffic model (standard CSR SpMV roofline accounting): per nnz one
 4-byte column index + one 4-byte value + one 4-byte gathered x element;
-per row one 4-byte output write + indptr.  Our XLA path additionally
-streams row_ids (+4 B/nnz) — the model charges the *algorithmic* minimum,
-so the number is honest w.r.t. the roofline literature.
+per row one 4-byte output write + indptr.  The model charges the
+*algorithmic* minimum, so the number is honest w.r.t. the roofline
+literature — the kernel's real traffic includes padding and routing
+tables.
+
+Timing is CHAINED (each SpMV feeds the next) so asynchronous dispatch
+cannot hide device time.
 """
 
 from __future__ import annotations
@@ -22,53 +26,44 @@ import numpy as np
 
 
 def build_graph(n=1 << 21, deg=16, seed=0):
+    """Uniform random graph, CSR, rows sorted (cols unsorted is fine)."""
     rng = np.random.default_rng(seed)
     nnz = n * deg
-    rows = rng.integers(0, n, nnz, dtype=np.int64)
-    cols = rng.integers(0, n, nnz, dtype=np.int64)
-    order = np.lexsort((cols, rows))
-    rows, cols = rows[order], cols[order]
+    rows = np.sort(rng.integers(0, n, nnz, dtype=np.int32))
+    cols = rng.integers(0, n, nnz, dtype=np.int32)
     vals = rng.random(nnz, dtype=np.float32)
+    counts = np.bincount(rows, minlength=n)
     indptr = np.zeros(n + 1, np.int64)
-    np.add.at(indptr, rows + 1, 1)
-    indptr = np.cumsum(indptr)
-    return indptr.astype(np.int32), rows.astype(np.int32), cols.astype(np.int32), vals
+    np.cumsum(counts, out=indptr[1:])
+    return indptr.astype(np.int32), rows, cols, vals
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from spla_tpu import op as OP
-    from spla_tpu.containers import CsrMatrix
-    from spla_tpu.ops.spmv import best_spmv_fn
+    from spla_tpu.pallas.spmv import build_cell_spmv_arrays, cell_spmv_apply
 
     n = 1 << 21
     deg = 16
     indptr, rows, cols, vals = build_graph(n, deg)
     nnz = vals.size
-
-    A = CsrMatrix(
-        shape=(n, n),
-        indptr=jnp.asarray(indptr),
-        cols=jnp.asarray(cols),
-        values=jnp.asarray(vals),
-        row_ids=jnp.asarray(rows),
-        nnz=jnp.asarray(nnz, jnp.int32),
-        fill=jnp.float32(0),
-    )
     x = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
 
-    spmv = best_spmv_fn(A, OP.MULT_FLOAT, OP.PLUS_FLOAT, jnp.float32(0))
-    f = jax.jit(spmv)
-    r = f(A, x)
+    t0 = time.perf_counter()
+    fmt = build_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
+    jax.block_until_ready(fmt.vals)
+    build_s = time.perf_counter() - t0
+
+    r = cell_spmv_apply(fmt, x)
     jax.block_until_ready(r)
 
-    iters = 50
+    iters = 30
+    y = x
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = f(A, r * 0 + x)  # prevent trivial caching while staying on device
-    jax.block_until_ready(r)
+        y = cell_spmv_apply(fmt, y) * jnp.float32(1e-6)  # chain: no async hiding
+    jax.block_until_ready(y)
     dt = (time.perf_counter() - t0) / iters
 
     bytes_model = nnz * (4 + 4 + 4) + n * 4 + (n + 1) * 4
@@ -90,6 +85,8 @@ def main():
                     "nnz": int(nnz),
                     "ms_per_spmv": round(dt * 1e3, 3),
                     "mnnz_per_s": round(nnz / dt / 1e6, 1),
+                    "padding": round(fmt.slots / fmt.nnz, 3),
+                    "preprocess_s": round(build_s, 1),
                     "device": str(dev),
                     "roofline_gbps": roofline,
                 },

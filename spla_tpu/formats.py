@@ -39,6 +39,34 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Host-side copies of device CSR arrays, keyed weakly by the device values
+# array.  Kernel preprocessing (pallas cell layout) reads the whole matrix
+# on host; without this cache it would pull hundreds of MB back over the
+# device transport.  Populated automatically by the host-side builders.
+import weakref
+
+_HOST_ARRAYS: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+_HOST_DATA: dict = {}
+
+
+def register_host_arrays(values_dev, rows, cols, vals) -> None:
+    """Remember the numpy (rows, cols, vals) that produced a device CSR."""
+    key = id(values_dev)
+    _HOST_DATA[key] = (rows, cols, vals)
+    try:
+        _HOST_ARRAYS[key] = values_dev  # keeps key valid only while alive
+    except TypeError:  # pragma: no cover - object not weakref-able
+        pass
+
+
+def lookup_host_arrays(values_dev):
+    key = id(values_dev)
+    if key in _HOST_ARRAYS and _HOST_ARRAYS.get(key) is values_dev:
+        return _HOST_DATA.get(key)
+    _HOST_DATA.pop(key, None)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Host-side builders (numpy): construction path with duplicate-reduce.
 # ---------------------------------------------------------------------------
@@ -160,11 +188,13 @@ def _csr_from_sorted_host(shape, r, c, v, fillv, capacity=None) -> CsrMatrix:
     pv = np.full(cap, fillv, fillv.dtype)
     pr = np.full(cap, m, np.int32)
     pc[:nnz], pv[:nnz], pr[:nnz] = c, v, r
+    values_dev = jnp.asarray(pv)
+    register_host_arrays(values_dev, pr[:nnz], pc[:nnz], pv[:nnz])
     return CsrMatrix(
         shape=(m, n),
         indptr=jnp.asarray(indptr.astype(np.int32)),
         cols=jnp.asarray(pc),
-        values=jnp.asarray(pv),
+        values=values_dev,
         row_ids=jnp.asarray(pr),
         nnz=jnp.asarray(nnz, jnp.int32),
         fill=jnp.asarray(fillv),

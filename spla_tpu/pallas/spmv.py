@@ -3,34 +3,41 @@
 Replaces the reference's OpenCL SpMV kernels (``kernels/mxv.cl:44-81``
 pull row-per-subgroup, ``kernels/vxm.cl:30-95`` push
 count/collect/sort/reduce pipeline) with a design built around what the
-TPU TensorCore is actually fast at.  Measured on v5e (this toolchain):
-XLA's general gather/scatter runs ~0.07 G-ops/s (scalar, serialized),
-while Mosaic's lane shuffle (``take_along_axis`` along lanes over a
-128-wide window) runs >10 G-lookups/s and the MXU runs dense f32
-matmuls at tens of TFLOP/s.  So the kernel uses ONLY:
+TPU TensorCore is fast at.  The TPU has no per-element random access:
+the only fast arbitrary-index primitives are the 128-lane shuffle
+(``take_along_axis`` along lanes) and the 8-deep sublane gather
+(``take_along_axis`` along sublanes of an (8, 128) tile), and the only
+fast "scatter" is a one-hot matmul on the MXU.  The kernel is built from
+exactly these three primitives.
 
-* dense DMA streams for the (value, packed-index) entry arrays,
-* the whole input vector resident in VMEM (128 MiB on v5e — up to ~30M
-  f32 elements), windows of 128 selected per sublane-row via dynamic
-  slices,
-* the 128-lane shuffle for the column gather within a window,
-* a *factorized one-hot MXU scatter-reduce* for the row accumulation:
-  for each 128-entry sublane row with target rows ``r = g*128 + l``
-  (within a 16384-row block), ``acc[g, l] += A_g^T · diag(p) · B_l``
-  where ``A_g[k, :] = onehot(g_k)`` and ``B_l[k, :] = onehot(l_k)`` —
-  a dense 128x128x128 ``dot_general`` per sublane row.  This turns the
-  scatter (which the TensorCore cannot do at all) into MXU work.
+Cell layout (host-preprocessed once per matrix, device-cached):
+
+* entries are grouped into **cells** = (row block of 16384 rows) x
+  (column window of ``CW`` columns, default 8192);
+* each cell's entries are packed into 1024-entry **tiles** (8 sublanes x
+  128 lanes); a tile touches ONE output row block and ONE x window, so
+  the window streams in via the BlockSpec pipeline and the row-block
+  accumulator lives in the output block;
+* within a tile, entry (s, l) holding source column ``wbase*CW + w*128 +
+  b`` is *lane-routed*: a per-tile routing table ``B[w, l] = b`` (int8)
+  lets the gather run as ONE lane shuffle of the whole window followed by
+  a short sublane-select loop — two-level shuffle instead of a serial
+  gather.  The host assigns lanes so no two entries of a tile share
+  (lane, w) with different b (greedy with an overflow-repair loop).
+
+Gather:   u = take_along_axis(win, B, axis=1);  x_e = u[w_e, lane_e]
+          (the latter via an 8-deep sublane gather per group of 8 rows).
+Scatter:  acc[g, l] += prod via one-hot dot_generals per sublane row —
+          ``A[a,k] = (g_k==a)``, ``PB[a,k] = (l_k==a) * p_k`` — i.e. the
+          scatter the TensorCore cannot do becomes MXU work.  Two
+          precision modes: exact f32 (HIGHEST) and **exact bf16 3-split**
+          (p = hi+mid+lo in bf16 covers all 24 f32 mantissa bits; one-hot
+          factors are exact in bf16), which runs ~3-6x faster on the MXU.
 
 Supported semirings: any elementwise ``op_mul`` with ``op_add = PLUS``
 (f32 accumulation).  BFS's BOR over {0,1} reduces to PLUS + ``> 0``;
 triangle counts are exact in f32 below 2^24.  Other monoids (MIN/MAX)
-fall back to the XLA path for now.
-
-Entry layout ("windowed CSC-in-row-blocks", host-preprocessed once per
-matrix and cached): entries are grouped by 16384-row block, sorted by
-column within the block, and packed into 128-entry sublane rows that
-never span a 128-column window; each sublane row carries its window
-base.  Padding slots have their valid bit clear.
+fall back to the XLA path.
 """
 
 from __future__ import annotations
@@ -49,214 +56,461 @@ from jax.experimental.pallas import tpu as pltpu
 from ..containers import CsrMatrix
 
 __all__ = [
-    "WindowedSpmv",
-    "build_windowed_spmv",
-    "windowed_spmv_apply",
+    "CellSpmv",
+    "build_cell_spmv",
+    "build_cell_spmv_arrays",
+    "cell_spmv_apply",
     "pallas_spmv_fn",
 ]
 
-ROW_BLOCK = 16384  # 128 g-groups x 128 lanes
-CHUNK = 32  # sublane rows per grid step (4096 entries)
-VALID_BIT = 1 << 23
+ROW_BLOCK = 16384  # 128 g-groups x 128 lanes of the output accumulator
+TILE = 1024  # entries per tile: 8 sublanes x 128 lanes
+VALID_BIT = 1 << 21
 
 
 @dataclass(frozen=True)
-class WindowedSpmv:
+class CellSpmv:
     """Preprocessed kernel operand (host-built, device-resident)."""
 
     m: int  # output rows
     n: int  # input length
+    cw: int  # column-window width (static)
     n_row_blocks: int
-    n_chunks: int
-    vals: jax.Array  # [n_chunks, CHUNK, 128] f32
-    packed: jax.Array  # [n_chunks, CHUNK, 128] int32: cl | g<<8 | l<<16 | valid<<23
-    wbase: jax.Array  # [n_chunks, 8, 128] int32; sublane s at [c, s%8, s//8]
-    rb_of_chunk: jax.Array  # [n_chunks] int32
-    is_first: jax.Array  # [n_chunks] int32 (1 = first chunk of its row block)
-    slots: int  # total padded slots (for padding-ratio reporting)
+    n_tiles: int
+    vals: jax.Array  # [T, 8, 128] f32
+    packed: jax.Array  # [T, 8, 128] int32: w | g<<7 | l<<14 | valid<<21
+    route: jax.Array  # [T, cw//128, 128] int8: B[w, lane] = b
+    rb_of_tile: jax.Array  # [T] int32 (scalar-prefetch)
+    wb_of_tile: jax.Array  # [T] int32 window index (scalar-prefetch)
+    is_first: jax.Array  # [T] int32 (1 = first tile of its row block)
+    slots: int  # total padded slots (padding-ratio reporting)
     nnz: int
 
 
 jax.tree_util.register_dataclass(
-    WindowedSpmv,
-    data_fields=["vals", "packed", "wbase", "rb_of_chunk", "is_first"],
-    meta_fields=["m", "n", "n_row_blocks", "n_chunks", "slots", "nnz"],
+    CellSpmv,
+    data_fields=["vals", "packed", "route", "rb_of_tile", "wb_of_tile", "is_first"],
+    meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz"],
 )
 
 
-def build_windowed_spmv(A: CsrMatrix) -> WindowedSpmv:
-    """Host-side preprocessing: CSR -> windowed layout (vectorized numpy)."""
-    m, n = A.shape
-    nnz = int(np.asarray(A.nnz))
-    rows = np.asarray(A.row_ids)[:nnz].astype(np.int64)
-    cols = np.asarray(A.cols)[:nnz].astype(np.int64)
-    vals = np.asarray(A.values)[:nnz]
+def _pack_cells(cell, cols, cw, max_rounds=24):
+    """Assign tile slots within cells (entries pre-sorted cell-major).
 
-    n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
-    rb = rows // ROW_BLOCK
-    order = np.lexsort((cols, rb))
-    rows, cols, vals, rb = rows[order], cols[order], vals[order], rb[order]
+    Position p within a cell maps to tile p//1024, slot (p%1024 // 128,
+    lane = p%128).  The routing slot (tile, w7, lane) can hold ONE source
+    column; conflicting entries are moved to the back of their cell
+    (stable) and the assignment is re-run — merged repair rounds, so no
+    extra tiles are created for kicked entries.  Repair only recurses into
+    the *dirty cells* (cells with >= 1 conflict), so its cost scales with
+    the conflict mass, not nnz.  A final fallback packs any
+    still-conflicting remainder at sublane = w7 mod 8, conflict-free by
+    construction.
 
-    # runs of identical (row block, 128-col window)
-    nw = (n + 127) // 128
-    key = rb * nw + (cols // 128)
+    Returns each entry's position within its cell, aligned with the input
+    order.
+    """
+    nnz = cell.size
     change = np.empty(nnz, bool)
-    if nnz:
-        change[0] = True
-        change[1:] = key[1:] != key[:-1]
-    run_id = np.cumsum(change) - 1
-    run_start_pos = np.nonzero(change)[0]
-    pos_in_run = np.arange(nnz) - run_start_pos[run_id] if nnz else np.zeros(0, np.int64)
+    change[0] = True
+    change[1:] = cell[1:] != cell[:-1]
+    grp_id = np.cumsum(change) - 1
+    grp_start_arr = np.nonzero(change)[0]
+    gstart = grp_start_arr[grp_id]
+    pos0 = np.arange(nnz, dtype=np.int64) - gstart
 
-    # sublane rows: 128 entries of one run
-    sub_key = run_id * (1 << 24) + pos_in_run // 128
-    sub_change = np.empty(nnz, bool)
-    if nnz:
-        sub_change[0] = True
-        sub_change[1:] = sub_key[1:] != sub_key[:-1]
-    sub_id = np.cumsum(sub_change) - 1
-    lane = (pos_in_run % 128).astype(np.int64)
-    n_sub = int(sub_id[-1] + 1) if nnz else 0
+    w7 = ((cols % cw) >> 7).astype(np.int32)
+    b = (cols % 128).astype(np.int32)
+    conflict = _detect_conflicts(pos0, w7, b)
+    if not conflict.any():
+        return pos0
+    dirty = np.zeros(grp_start_arr.size, bool)
+    dirty[grp_id[conflict]] = True
+    idxs = np.nonzero(dirty[grp_id])[0]
+    sub_pos = _pack_cells_iter(cell[idxs], cols[idxs], cw, max_rounds)
+    pos0[idxs] = sub_pos
+    return pos0
 
-    sub_pos = np.nonzero(sub_change)[0]
-    sub_rb = rb[sub_pos] if nnz else np.zeros(0, np.int64)
-    sub_wbase = (cols[sub_pos] // 128).astype(np.int32) if nnz else np.zeros(0, np.int32)
 
-    # pad sublane-row count per row block to a CHUNK multiple
-    counts = np.bincount(sub_rb, minlength=n_rb)
-    padded = np.maximum(((counts + CHUNK - 1) // CHUNK) * CHUNK, CHUNK)
-    offsets = np.concatenate([[0], np.cumsum(padded)])
-    total_sub = int(offsets[-1])
-    n_chunks = total_sub // CHUNK
+def _detect_conflicts(pos, w7, b):
+    """conflict = b differs from the EARLIEST same-(lane, w7) entry of the
+    tile's chain (the routing slot's claimant); matching b never kicks."""
+    nnz = pos.shape[0]
+    idx = pos % TILE
+    first_b = b.copy()
+    for k in range(1, 8):  # ascending: larger k (earlier claimant) wins
+        d = 128 * k
+        mask = np.zeros(nnz, bool)
+        mask[d:] = (idx[d:] >= d) & (w7[d:] == w7[:-d])
+        first_b[d:][mask[d:]] = b[:-d][mask[d:]]
+    return b != first_b
 
-    # rank of each sublane row within its row block (sub rows sorted by rb)
-    rb_first_sub = np.searchsorted(sub_rb, np.arange(n_rb))
-    sub_rank = np.arange(n_sub) - rb_first_sub[sub_rb]
-    sub_final = offsets[sub_rb] + sub_rank  # final padded index per sublane row
 
-    vals_out = np.zeros((total_sub, 128), np.float32)
-    packed_out = np.zeros((total_sub, 128), np.int32)
-    wbase_out = np.zeros(total_sub, np.int32)
-    wbase_out[sub_final] = sub_wbase
+def _pack_cells_iter(cell, cols, cw, max_rounds=24):
+    nnz = cell.size
+    change = np.empty(nnz, bool)
+    change[0] = True
+    change[1:] = cell[1:] != cell[:-1]
+    grp_id = np.cumsum(change) - 1
+    grp_start_arr = np.nonzero(change)[0]
+    gstart = grp_start_arr[grp_id]
 
-    slot_row = sub_final[sub_id]
-    local = rows - rb * ROW_BLOCK
+    perm = np.arange(nnz, dtype=np.int64)
+    w7 = ((cols % cw) >> 7).astype(np.int32)
+    b = (cols % 128).astype(np.int32)
+    arange = np.arange(nnz, dtype=np.int64)
+    pos = arange - gstart
+
+    def finish(pos):
+        pos_in = np.empty(nnz, np.int64)
+        pos_in[perm] = pos
+        return pos_in
+
+    prev_kicked = nnz + 1
+    for _ in range(max_rounds):
+        conflict = _detect_conflicts(pos, w7, b)
+        n_kick = int(conflict.sum())
+        if n_kick == 0:
+            return finish(pos)
+        if n_kick >= prev_kicked:
+            break  # oscillating: fallback packs the rest
+        prev_kicked = n_kick
+        # stable within-cell partition: kept first, kicked last
+        exc = np.cumsum(conflict) - conflict  # exclusive kick count
+        kicks_before = exc - exc[gstart]
+        kept_before = pos - kicks_before
+        # kicks per group, broadcast to entries
+        total = np.concatenate([exc, [np.int64(conflict.sum())]])
+        kicks_in_grp = (total[np.append(grp_start_arr[1:], nnz)] - total[grp_start_arr])[grp_id]
+        grp_size = (np.append(grp_start_arr[1:], nnz) - grp_start_arr)[grp_id]
+        newpos = np.where(conflict, grp_size - kicks_in_grp + kicks_before, kept_before)
+        dest = gstart + newpos
+        nperm = np.empty(nnz, np.int64)
+        nperm[dest] = perm
+        nw7 = np.empty_like(w7); nw7[dest] = w7
+        nb = np.empty_like(b); nb[dest] = b
+        perm, w7, b = nperm, nw7, nb
+        pos = arange - gstart
+
+    # Fallback: kept entries stay at their CURRENT (conflict-checked)
+    # positions — compacting would create new, unchecked chain pairs; the
+    # holes are just padding.  Kicked entries go to fresh tail tiles at
+    # sublane = w7 mod 8: any two chain entries then sit on different
+    # sublanes with w7 differing mod 8, so (lane, w7) slots never collide.
+    conflict = _detect_conflicts(pos, w7, b)
+    grp_size = (np.append(grp_start_arr[1:], nnz) - grp_start_arr)[grp_id]
+    tail_base = -(-grp_size // TILE)  # first tile past all current entries
+    ki = np.nonzero(conflict)[0]
+    if ki.size:
+        kcell = grp_id[ki]
+        kcls = (w7[ki] & 7).astype(np.int64)
+        korder = np.lexsort((kcls, kcell))
+        kisort = ki[korder]
+        ckey = grp_id[kisort] * 8 + (w7[kisort] & 7)
+        kchg = np.empty(ki.size, bool)
+        kchg[0] = True
+        kchg[1:] = ckey[1:] != ckey[:-1]
+        kst = np.nonzero(kchg)[0]
+        r = np.arange(ki.size, dtype=np.int64) - kst[np.cumsum(kchg) - 1]
+        pos[kisort] = (
+            tail_base[kisort] * TILE
+            + (r // 128) * TILE
+            + (w7[kisort] & 7) * 128
+            + (r % 128)
+        )
+    return finish(pos)
+
+
+def _mk_tick():
+    import os, sys, time  # noqa: E401
+
+    if not os.environ.get("SPLA_BUILD_DEBUG"):
+        return lambda label: None
+    state = {"t": time.perf_counter()}
+
+    def tick(label):
+        now = time.perf_counter()
+        print(f"[build_cell_spmv] {label}: {now - state['t']:.2f}s",
+              file=sys.stderr, flush=True)
+        state["t"] = now
+
+    return tick
+
+
+def build_cell_spmv(A: CsrMatrix, cw: int = 8192) -> CellSpmv:
+    """Host-side preprocessing: CSR -> cell layout."""
+    nnz = int(np.asarray(A.nnz))
+    from ..formats import lookup_host_arrays
+
+    host = lookup_host_arrays(A.values)
+    if host is not None:
+        rows_all, cols_all, vals_all = (a[:nnz] for a in host)
+    else:
+        rows_all = np.asarray(A.row_ids)[:nnz]
+        cols_all = np.asarray(A.cols)[:nnz]
+        vals_all = np.asarray(A.values)[:nnz]
+    m, n = A.shape
+    return build_cell_spmv_arrays(m, n, rows_all, cols_all, vals_all, cw=cw)
+
+
+def build_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 8192) -> CellSpmv:
+    """Build the cell layout from host COO arrays (rows need not be sorted
+    beyond what the packer buckets itself)."""
+    tick = _mk_tick()
+    assert cw % 1024 == 0 and cw >= 1024
+    nnz = int(rows.shape[0])
+    n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
+    nwc = max((n + cw - 1) // cw, 1)
+    cwr = cw // 128
+
+    if nnz == 0:
+        return CellSpmv(
+            m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=n_rb,
+            vals=jnp.zeros((n_rb, 8, 128), jnp.float32),
+            packed=jnp.zeros((n_rb, 8, 128), jnp.int32),
+            route=jnp.zeros((n_rb, cwr, 128), jnp.int8),
+            rb_of_tile=jnp.arange(n_rb, dtype=jnp.int32),
+            wb_of_tile=jnp.zeros(n_rb, jnp.int32),
+            is_first=jnp.ones(n_rb, jnp.int32),
+            slots=n_rb * TILE, nnz=0,
+        )
+
+    # native packer first (single pass, see native/cellpack.cpp); numpy
+    # multi-pass fallback below when no toolchain is available
+    from .cellpack_native import native_pack
+
+    packed = native_pack(m, n, cw, rows, cols, vals)
+    if packed is not None:
+        nt, t_vals, t_pk, t_route, rb_t, wb_t, first_t = packed
+        tick("native pack")
+        out = CellSpmv(
+            m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
+            vals=jnp.asarray(t_vals),
+            packed=jnp.asarray(t_pk),
+            route=jnp.asarray(t_route),
+            rb_of_tile=jnp.asarray(rb_t),
+            wb_of_tile=jnp.asarray(wb_t),
+            is_first=jnp.asarray(first_t),
+            slots=int(nt) * TILE,
+            nnz=nnz,
+        )
+        tick("device upload")
+        return out
+
+    rows_all = np.asarray(rows, np.int64)
+    cols_all = np.asarray(cols, np.int64)
+    vals_all = np.asarray(vals, np.float32)
+
+    # Pack order within a cell: (rank-within-column, w7, b).  A tile's lane
+    # chain (stride 128) then advances ~128 positions per sublane, i.e. one
+    # full w7-major step — consecutive w7 values, which are DISTINCT within
+    # the <=8-deep chain, so the (lane, w7) routing slots never collide for
+    # dense cells; rank grouping keeps duplicate-column entries in separate
+    # tiles.  Residual boundary collisions go through the repair rounds.
+    cell_key = (rows_all >> 14) * np.int64(nwc) + cols_all // cw
+    colkey = cell_key * np.int64(cw) + cols_all % cw
+    o1 = np.argsort(colkey, kind="stable")
+    ck = colkey[o1]
+    chg = np.empty(ck.size, bool)
+    chg[0] = True
+    chg[1:] = ck[1:] != ck[:-1]
+    gs = np.nonzero(chg)[0]
+    rank_sorted = np.arange(ck.size, dtype=np.int64) - gs[np.cumsum(chg) - 1]
+    rank = np.empty(ck.size, np.int64)
+    rank[o1] = rank_sorted
+    w7_ = (cols_all % cw) >> 7
+    b_ = cols_all % 128
+    minor = (rank * np.int64(cw) + w7_ * 128 + b_)
+    tick("rank pass")
+    max_cell = int(cell_key.max())
+    max_minor = int(minor.max())
+    if (max_cell + 1) * (max_minor + 1) < (1 << 62):
+        order = np.argsort(cell_key * np.int64(max_minor + 1) + minor, kind="stable")
+    else:  # pragma: no cover - enormous shapes only
+        order = np.lexsort((minor, cell_key))
+    rows_all, cols_all, vals_all = rows_all[order], cols_all[order], vals_all[order]
+    tick("sort")
+
+    # merged repair-round packing within cells
+    cell_sorted = cell_key[order]
+    pos = _pack_cells(cell_sorted, cols_all, cw)
+    tick("pack_cells")
+    rows_s, cols_s, vals_s = rows_all, cols_all, vals_all
+    # cell of each FINAL slot (perm only permutes within cells)
+    cell_s = cell_sorted
+
+    # tile numbering: per-cell tile counts from the max position used
+    gchange = np.empty(nnz, bool)
+    gchange[0] = True
+    gchange[1:] = cell_s[1:] != cell_s[:-1]
+    grp_id = np.cumsum(gchange) - 1
+    grp_start = np.nonzero(gchange)[0]
+    grp_end = np.append(grp_start[1:], nnz)
+    max_pos = np.maximum.reduceat(pos, grp_start)
+    tiles_per_cell = (max_pos // TILE + 1).astype(np.int64)
+    tile_offset = np.concatenate([[0], np.cumsum(tiles_per_cell)])
+    n_tiles = int(tile_offset[-1])
+    tile_of_entry = tile_offset[grp_id] + pos // TILE
+    idx_s = (pos % TILE).astype(np.int64)
+
+    t_vals = np.zeros((n_tiles, TILE), np.float32)
+    t_pk = np.zeros((n_tiles, TILE), np.int32)
+    t_route = np.zeros((n_tiles, cwr, 128), np.int8)
+
+    cell_of_tile = np.repeat(cell_s[grp_start], tiles_per_cell)
+    rb_of_tile = (cell_of_tile // nwc).astype(np.int32)
+    wb_of_tile = (cell_of_tile % nwc).astype(np.int32)
+
+    local = rows_s - (rows_s >> 14 << 14)
     g = (local // 128).astype(np.int32)
-    lo = (local % 128).astype(np.int32)
-    cl = (cols % 128).astype(np.int32)
-    vals_out[slot_row, lane] = vals.astype(np.float32)
-    packed_out[slot_row, lane] = cl | (g << 8) | (lo << 16) | VALID_BIT
+    l = (local % 128).astype(np.int32)
+    w7 = ((cols_s % cw) >> 7).astype(np.int32)
+    b = (cols_s % 128).astype(np.int32)
+    lane = (idx_s % 128).astype(np.int64)
 
-    # chunk metadata
-    chunk_rb = np.repeat(
-        np.arange(n_rb, dtype=np.int32), (padded // CHUNK).astype(np.int64)
-    )
-    is_first = np.zeros(n_chunks, np.int32)
-    first_pos = np.concatenate([[0], np.cumsum(padded // CHUNK)])[:-1]
-    is_first[first_pos] = 1
+    t_vals[tile_of_entry, idx_s] = vals_s
+    t_pk[tile_of_entry, idx_s] = w7 | (g << 7) | (l << 14) | VALID_BIT
+    t_route[tile_of_entry, w7, lane] = b.astype(np.int8)
+    tick("tile fill")
 
-    return WindowedSpmv(
+    # every row block needs >= 1 tile, else its output block is never
+    # zero-initialised; append an all-padding tile per missing block
+    missing = np.setdiff1d(np.arange(n_rb, dtype=np.int32), rb_of_tile)
+    if missing.size:
+        t_vals = np.concatenate([t_vals, np.zeros((missing.size, TILE), np.float32)])
+        t_pk = np.concatenate([t_pk, np.zeros((missing.size, TILE), np.int32)])
+        t_route = np.concatenate(
+            [t_route, np.zeros((missing.size, cwr, 128), np.int8)]
+        )
+        rb_of_tile = np.concatenate([rb_of_tile, missing])
+        wb_of_tile = np.concatenate([wb_of_tile, np.zeros(missing.size, np.int32)])
+        n_tiles += missing.size
+        reorder = np.argsort(rb_of_tile, kind="stable")
+        t_vals, t_pk, t_route = t_vals[reorder], t_pk[reorder], t_route[reorder]
+        rb_of_tile, wb_of_tile = rb_of_tile[reorder], wb_of_tile[reorder]
+
+    is_first = np.zeros(n_tiles, np.int32)
+    if n_tiles:
+        is_first[0] = 1
+        is_first[1:] = rb_of_tile[1:] != rb_of_tile[:-1]
+    tick("assemble")
+
+    out = CellSpmv(
         m=m,
         n=n,
+        cw=cw,
         n_row_blocks=n_rb,
-        n_chunks=n_chunks,
-        vals=jnp.asarray(vals_out.reshape(n_chunks, CHUNK, 128)),
-        packed=jnp.asarray(packed_out.reshape(n_chunks, CHUNK, 128)),
-        wbase=jnp.asarray(_pack_wbase(wbase_out, n_chunks)),
-        rb_of_chunk=jnp.asarray(chunk_rb),
+        n_tiles=n_tiles,
+        vals=jnp.asarray(t_vals.reshape(n_tiles, 8, 128)),
+        packed=jnp.asarray(t_pk.reshape(n_tiles, 8, 128)),
+        route=jnp.asarray(t_route),
+        rb_of_tile=jnp.asarray(rb_of_tile),
+        wb_of_tile=jnp.asarray(wb_of_tile),
         is_first=jnp.asarray(is_first),
-        slots=total_sub * 128,
+        slots=n_tiles * TILE,
         nnz=nnz,
     )
-
-
-def _pack_wbase(wbase_flat, n_chunks):
-    import numpy as _np
-
-    out = _np.zeros((n_chunks, 8, 128), _np.int32)
-    w = wbase_flat.reshape(n_chunks, CHUNK)
-    s = _np.arange(CHUNK)
-    out[:, s % 8, s // 8] = w
+    tick("device upload")
     return out
 
 
-def _make_kernel(op_mul, precision):
-    def kernel(rb_ref, first_ref, wbase_ref, x_ref, vals_ref, packed_ref, out_ref):
+def _make_kernel(op_mul, scatter_mode, cwr):
+    def kernel(rb_ref, first_ref, wb_ref, vals_ref, pk_ref, B_ref, x_ref, out_ref):
         c = pl.program_id(0)
 
         @pl.when(first_ref[c] == 1)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        win_rows = [
-            x_ref[pl.ds(wbase_ref[0, s % 8, s // 8], 1), :] for s in range(CHUNK)
-        ]
-        win = jnp.concatenate(win_rows, axis=0)  # (CHUNK,128)
-        pk = packed_ref[0]
-        cl = pk & 0x7F
-        y = jnp.take_along_axis(win, cl, axis=1)
-        p = op_mul(vals_ref[0], y)
+        pk = pk_ref[0]
+        w7 = pk & 0x7F
+        g = (pk >> 7) & 0x7F
+        l = (pk >> 14) & 0x7F
         valid = (pk & VALID_BIT) != 0
-        p = jnp.where(valid, p, 0.0)
-        g = (pk >> 8) & 0x7F
-        l = (pk >> 16) & 0x7F
 
+        # --- two-level shuffle gather ---
+        win = x_ref[:]  # (cwr, 128)
+        B = B_ref[0].astype(jnp.int32)
+        u = jnp.take_along_axis(win, B, axis=1)  # u[w, lane] = win[w, B[w, lane]]
+        r3 = w7 & 7
+        m4 = w7 >> 3
+        xg = jnp.zeros((8, 128), jnp.float32)
+        for mp in range(cwr // 8):
+            cand = jnp.take_along_axis(u[8 * mp : 8 * mp + 8], r3, axis=0)
+            xg = jnp.where(m4 == mp, cand, xg)
+
+        prod = op_mul(vals_ref[0], xg)
+        prod = jnp.where(valid, prod, 0.0)
+
+        # --- one-hot MXU scatter-accumulate ---
+        iota = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         acc = jnp.zeros((128, 128), jnp.float32)
-        iota_s = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        for s in range(CHUNK):
-            gs = jnp.broadcast_to(g[s][None, :], (128, 128))
-            ls = jnp.broadcast_to(l[s][None, :], (128, 128))
-            ps = jnp.broadcast_to(p[s][None, :], (128, 128))
-            A = (gs == iota_s).astype(jnp.float32)
-            PB = jnp.where(ls == iota_s, ps, 0.0)
-            acc = acc + lax.dot_general(
-                A,
-                PB,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-        out_ref[:] += acc
+        for s in range(8):
+            gm = jnp.broadcast_to(g[s][None, :], (128, 128)) == iota
+            lm = jnp.broadcast_to(l[s][None, :], (128, 128)) == iota
+            if scatter_mode == "f32":
+                A = gm.astype(jnp.float32)
+                PB = jnp.where(lm, jnp.broadcast_to(prod[s][None, :], (128, 128)), 0.0)
+                acc = acc + lax.dot_general(
+                    A, PB, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+            else:  # exact bf16 3-split
+                A = gm.astype(jnp.bfloat16)
+                Lb = lm.astype(jnp.bfloat16)
+                p = prod[s]
+                hi = p.astype(jnp.bfloat16)
+                r1 = p - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                for part in (hi, mid, lo):
+                    PB = Lb * jnp.broadcast_to(part[None, :], (128, 128))
+                    acc = acc + lax.dot_general(
+                        A, PB, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+        out_ref[0] += acc
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("op_mul", "precision"))
-def windowed_spmv_apply(fmt: WindowedSpmv, x, op_mul=None, precision="highest"):
+@partial(jax.jit, static_argnames=("op_mul", "scatter_mode"))
+def cell_spmv_apply(fmt: CellSpmv, x, op_mul=None, scatter_mode="bf16x3"):
     """r = A @ x over (op_mul, PLUS); x is the dense input vector [n]."""
     mul = op_mul if op_mul is not None else (lambda a, b: a * b)
-    nw = (fmt.n + 127) // 128
-    x2d = jnp.pad(x, (0, nw * 128 - fmt.n)).reshape(nw, 128)
-    prec = (
-        lax.Precision.HIGHEST if precision == "highest" else lax.Precision.DEFAULT
-    )
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr  # x2d rows padded to window
+    x2d = jnp.pad(x, (0, nwr * 128 - fmt.n)).reshape(nwr, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(fmt.n_chunks,),
+        num_scalar_prefetch=3,  # rb_of_tile, is_first, wb_of_tile
+        grid=(fmt.n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda c, rb, fi: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, 128), lambda c, rb, fi: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, CHUNK, 128), lambda c, rb, fi: (c, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, CHUNK, 128), lambda c, rb, fi: (c, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cwr, 128), lambda c, rb, fi, wb: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cwr, 128), lambda c, rb, fi, wb: (wb[c], 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 128, 128), lambda c, rb, fi: (rb[c], 0, 0), memory_space=pltpu.VMEM
+            (1, 128, 128), lambda c, rb, fi, wb: (rb[c], 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
-        _make_kernel(mul, prec),
+        _make_kernel(mul, scatter_mode, cwr),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks, 128, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_should_interpret(),
-    )(fmt.rb_of_chunk, fmt.is_first, fmt.wbase, x2d, fmt.vals, fmt.packed)
+    )(fmt.rb_of_tile, fmt.is_first, fmt.wb_of_tile,
+      fmt.vals, fmt.packed, fmt.route, x2d)
     return out.reshape(-1)[: fmt.m]
 
 
@@ -269,11 +523,11 @@ def _should_interpret() -> bool:
 _FORMAT_CACHE: dict = {}
 
 
-def get_windowed_format(A: CsrMatrix) -> WindowedSpmv:
-    key = id(A.values)
+def get_cell_format(A: CsrMatrix, cw: int = 16384) -> CellSpmv:
+    key = (id(A.values), cw)
     fmt = _FORMAT_CACHE.get(key)
     if fmt is None:
-        fmt = build_windowed_spmv(A)
+        fmt = build_cell_spmv(A, cw=cw)
         _FORMAT_CACHE[key] = fmt
     return fmt
 
@@ -285,16 +539,15 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
         return None
     if A.values.dtype != jnp.float32:
         return None
-    fmt = get_windowed_format(A)
+    fmt = get_cell_format(A)
     init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
 
-    def fn(_A, x, fmt=fmt):
-        r = windowed_spmv_apply(fmt, x, op_mul=None)
-        return r + init_f
-
+    mul = None
     if op_mul is not None and getattr(op_mul, "name", "MULT") != "MULT":
-        def fn(_A, x, fmt=fmt):  # noqa: F811 - generalized multiply
-            r = windowed_spmv_apply(fmt, x, op_mul=op_mul.fn)
-            return r + init_f
+        mul = op_mul.fn
+
+    def fn(_A, x, fmt=fmt, mul=mul):
+        r = cell_spmv_apply(fmt, x, op_mul=mul)
+        return r + init_f
 
     return fn

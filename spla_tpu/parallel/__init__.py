@@ -17,6 +17,13 @@ from .dist_ops import (
     dist_pagerank,
     dist_sssp,
 )
+from .dist_spgemm import (
+    count_dist_mxm_cap,
+    count_dist_mxmT_cap,
+    dist_mxm,
+    dist_mxmT_masked_reduce,
+    dist_tc,
+)
 
 __all__ = [
     "make_device_mesh",
@@ -27,4 +34,9 @@ __all__ = [
     "dist_pagerank",
     "dist_bfs",
     "dist_sssp",
+    "dist_mxm",
+    "dist_mxmT_masked_reduce",
+    "dist_tc",
+    "count_dist_mxm_cap",
+    "count_dist_mxmT_cap",
 ]

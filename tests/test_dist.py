@@ -96,3 +96,62 @@ def test_dist_sssp_matches_naive(mesh):
     finite = np.isfinite(expect)
     np.testing.assert_allclose(v[finite], expect[finite], rtol=1e-5)
     assert np.all(np.isinf(v[~finite]))
+
+
+# ---------------------------------------------------------------------------
+# distributed SpGEMM (ring-rotated row-merge)
+# ---------------------------------------------------------------------------
+
+
+def _to_dense_sharded(R, n):
+    """Assemble a dense matrix from a row-sharded CSR result."""
+    S, cap = np.asarray(R.cols).shape
+    out = np.zeros((R.n_shards * R.mloc, n), np.float64)
+    rows = np.asarray(R.row_ids)
+    cols = np.asarray(R.cols)
+    vals = np.asarray(R.values)
+    nnz = np.asarray(R.nnz)
+    for s in range(S):
+        k = int(nnz[s])
+        r = rows[s, :k] + s * R.mloc
+        out[r, cols[s, :k]] += vals[s, :k]
+    return out[: R.shape[0]]
+
+
+def test_dist_mxm_matches_scipy(mesh):
+    from spla_tpu.parallel import dist_mxm
+
+    n = 117
+    A = random_undirected(n, 5, 7, weighted=True)
+    B = random_undirected(n, 4, 8, weighted=True)
+    As = shard_csr_by_rows(F.csr_from_scipy(A), 8, mesh)
+    Bs = shard_csr_by_rows(F.csr_from_scipy(B), 8, mesh)
+    R = dist_mxm(mesh, As, Bs, op.MULT_FLOAT, op.PLUS_FLOAT, 0.0)
+    got = _to_dense_sharded(R, n)
+    ref = (A @ B).toarray()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dist_mxm_rectangular(mesh):
+    from spla_tpu.parallel import dist_mxm
+
+    rng = np.random.default_rng(11)
+    A = sp.random(90, 140, density=0.06, random_state=1, dtype=np.float32)
+    B = sp.random(140, 75, density=0.08, random_state=2, dtype=np.float32)
+    As = shard_csr_by_rows(F.csr_from_scipy(A), 8, mesh)
+    Bs = shard_csr_by_rows(F.csr_from_scipy(B), 8, mesh)
+    R = dist_mxm(mesh, As, Bs, op.MULT_FLOAT, op.PLUS_FLOAT, 0.0)
+    got = _to_dense_sharded(R, 75)
+    np.testing.assert_allclose(got, (A @ B).toarray(), rtol=1e-4, atol=1e-5)
+
+
+def test_dist_tc_matches_naive(mesh):
+    from spla_tpu.algorithms import tc_naive
+    from spla_tpu.parallel import dist_tc
+
+    n = 96
+    A = random_undirected(n, 8, 9).astype(np.float32)
+    As = shard_csr_by_rows(F.csr_from_scipy(A), 8, mesh)
+    got = dist_tc(mesh, As)
+    adj = [A.indices[A.indptr[i] : A.indptr[i + 1]].tolist() for i in range(n)]
+    assert got == tc_naive(adj)

@@ -10,42 +10,85 @@ import jax
 import jax.numpy as jnp
 
 from spla_tpu import formats as F
-from spla_tpu.pallas.spmv import build_windowed_spmv, windowed_spmv_apply
+from spla_tpu.pallas.spmv import build_cell_spmv, cell_spmv_apply
 
 
 @pytest.mark.parametrize(
     "m,n,density,seed",
     [(300, 250, 0.05, 1), (5000, 4000, 0.002, 2), (129, 128, 0.3, 3), (64, 64, 0.5, 4)],
 )
-def test_windowed_spmv_vs_scipy(m, n, density, seed):
+@pytest.mark.parametrize("mode", ["f32", "bf16x3"])
+def test_cell_spmv_vs_scipy(m, n, density, seed, mode):
     a = sp.random(m, n, density=density, random_state=seed, dtype=np.float32)
     A = F.csr_from_scipy(a)
-    fmt = build_windowed_spmv(A)
+    fmt = build_cell_spmv(A, cw=1024)
     x = np.random.default_rng(seed).random(n, dtype=np.float32)
-    r = np.asarray(windowed_spmv_apply(fmt, jnp.asarray(x)))
+    r = np.asarray(cell_spmv_apply(fmt, jnp.asarray(x), scatter_mode=mode))
     np.testing.assert_allclose(r, a @ x, rtol=1e-4, atol=1e-5)
 
 
-def test_windowed_spmv_empty_rows():
+def test_cell_spmv_exactness_modes_agree():
+    # the bf16 3-split covers all 24 f32 mantissa bits: vs a float64 oracle
+    # its error must match the plain-f32 path's (same roundoff class; only
+    # the summation order differs)
+    a = sp.random(500, 500, density=0.02, random_state=9, dtype=np.float32)
+    a.data = (a.data * 1000 - 500).astype(np.float32)
+    A = F.csr_from_scipy(a)
+    fmt = build_cell_spmv(A, cw=1024)
+    x = (np.random.default_rng(9).random(500, dtype=np.float32) * 7 - 3).astype(
+        np.float32
+    )
+    ref = a.astype(np.float64) @ x.astype(np.float64)
+    scale = np.abs(a).sum(axis=1).A.ravel() * np.abs(x).max() + 1.0
+    r32 = np.asarray(cell_spmv_apply(fmt, jnp.asarray(x), scatter_mode="f32"))
+    rbf = np.asarray(cell_spmv_apply(fmt, jnp.asarray(x), scatter_mode="bf16x3"))
+    err32 = np.abs(r32 - ref) / scale
+    errbf = np.abs(rbf - ref) / scale
+    assert err32.max() < 1e-6
+    assert errbf.max() < 1e-6  # f32-class accuracy, NOT bf16-class (~1e-2)
+
+
+def test_cell_spmv_empty_rows():
     a = sp.csr_matrix((np.ones(2, np.float32), ([0, 5], [3, 1])), shape=(10, 8))
-    fmt = build_windowed_spmv(F.csr_from_scipy(a))
+    fmt = build_cell_spmv(F.csr_from_scipy(a), cw=1024)
     x = np.arange(8, dtype=np.float32)
-    r = np.asarray(windowed_spmv_apply(fmt, jnp.asarray(x)))
+    r = np.asarray(cell_spmv_apply(fmt, jnp.asarray(x)))
     np.testing.assert_allclose(r, a @ x)
 
 
-def test_windowed_spmv_generalized_mul():
+def test_cell_spmv_empty_matrix():
+    a = sp.csr_matrix((10, 8), dtype=np.float32)
+    fmt = build_cell_spmv(F.csr_from_scipy(a), cw=1024)
+    r = np.asarray(cell_spmv_apply(fmt, jnp.arange(8, dtype=jnp.float32)))
+    np.testing.assert_allclose(r, np.zeros(10))
+
+
+def test_cell_spmv_generalized_mul():
     # op_mul other than MULT: (a + x) with PLUS accumulation
     a = sp.random(100, 100, density=0.1, random_state=5, dtype=np.float32)
-    fmt = build_windowed_spmv(F.csr_from_scipy(a))
+    fmt = build_cell_spmv(F.csr_from_scipy(a), cw=1024)
     x = np.random.default_rng(5).random(100, dtype=np.float32)
     r = np.asarray(
-        windowed_spmv_apply(fmt, jnp.asarray(x), op_mul=lambda av, xv: av + xv)
+        cell_spmv_apply(fmt, jnp.asarray(x), op_mul=lambda av, xv: av + xv)
     )
     d = a.toarray()
     mask = d != 0
     exp = ((d + x[None, :]) * mask).sum(1)
     np.testing.assert_allclose(r, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_cell_spmv_routing_conflicts():
+    # dense band: many distinct columns share (lane, window-row) slots,
+    # exercising the conflict-repair packing rounds
+    n = 600
+    d = np.zeros((n, n), np.float32)
+    for k in range(-3, 4):
+        d += np.diag(np.full(n - abs(k), 1.0 + abs(k), np.float32), k)
+    a = sp.csr_matrix(d)
+    fmt = build_cell_spmv(F.csr_from_scipy(a), cw=1024)
+    x = np.random.default_rng(2).random(n, dtype=np.float32)
+    r = np.asarray(cell_spmv_apply(fmt, jnp.asarray(x)))
+    np.testing.assert_allclose(r, d @ x, rtol=1e-4, atol=1e-4)
 
 
 def test_padding_ratio_reasonable():
@@ -58,5 +101,40 @@ def test_padding_ratio_reasonable():
         shape=(n, n),
     )
     a.sum_duplicates()
-    fmt = build_windowed_spmv(F.csr_from_scipy(a))
-    assert fmt.slots / fmt.nnz < 1.6  # dense-ish buckets at this density
+    fmt = build_cell_spmv(F.csr_from_scipy(a), cw=1024)
+    assert fmt.slots / fmt.nnz < 1.6  # dense-ish cells at this density
+
+
+def test_numpy_packer_fallback(monkeypatch):
+    # force the numpy multi-pass packer and check it agrees with scipy
+    import spla_tpu.pallas.spmv as S
+
+    monkeypatch.setattr(
+        "spla_tpu.pallas.cellpack_native.native_pack", lambda *a, **k: None
+    )
+    a = sp.random(400, 300, density=0.04, random_state=6, dtype=np.float32)
+    fmt = build_cell_spmv(F.csr_from_scipy(a), cw=1024)
+    x = np.random.default_rng(6).random(300, dtype=np.float32)
+    r = np.asarray(cell_spmv_apply(fmt, jnp.asarray(x)))
+    np.testing.assert_allclose(r, a @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_native_packer_padding():
+    from spla_tpu.pallas.cellpack_native import _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    n, deg = 1 << 14, 32
+    nnz = n * deg
+    a = sp.csr_matrix(
+        (rng.random(nnz, dtype=np.float32),
+         (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+        shape=(n, n),
+    )
+    a.sum_duplicates()
+    fmt = build_cell_spmv(F.csr_from_scipy(a), cw=2048)
+    assert fmt.slots / fmt.nnz < 1.35
+    x = np.random.default_rng(1).random(n, dtype=np.float32)
+    r = np.asarray(cell_spmv_apply(fmt, jnp.asarray(x)))
+    np.testing.assert_allclose(r, a @ x, rtol=1e-3, atol=1e-3)
