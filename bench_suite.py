@@ -1,0 +1,102 @@
+"""Extended benchmark suite: one JSON line per metric.
+
+``bench.py`` stays the driver's single-line headline (masked SpMV GB/s);
+this suite adds BFS / PageRank wall numbers and SpGEMM throughput on the
+same synthetic graphs, for the scaling study in README/BENCH notes.
+
+Run:  python bench_suite.py [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def emit(metric, value, unit, **detail):
+    print(json.dumps({"metric": metric, "value": round(float(value), 3),
+                      "unit": unit, "detail": detail}), flush=True)
+
+
+def random_graph(n, deg, seed=0):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    m = n * deg // 2
+    r = rng.integers(0, n, m)
+    c = rng.integers(0, n, m)
+    keep = r != c
+    r, c = r[keep], c[keep]
+    rows = np.concatenate([r, c])
+    cols = np.concatenate([c, r])
+    A = sp.coo_matrix(
+        (np.ones(rows.size, np.float32), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    A.sum_duplicates()
+    A.data[:] = 1.0
+    return A
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="tiny shapes (CI)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from spla_tpu import algorithms as alg
+    from spla_tpu import formats as F
+
+    n = 1 << (16 if args.small else 20)
+    deg = 16
+    A = random_graph(n, deg)
+    nnz = A.nnz
+    dev = jax.devices()[0].platform
+
+    # ---- BFS (levels on device, Pallas traversal on TPU) ----
+    Ac = F.csr_from_scipy(A.astype(np.int32))
+    v = alg.bfs(Ac, 0)
+    jax.block_until_ready(v.values)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        v = alg.bfs(Ac, 0)
+        jax.block_until_ready(v.values)
+    dt = (time.perf_counter() - t0) / reps
+    emit("bfs_gteps", nnz / dt / 1e9, "GTEPS",
+         n=n, nnz=int(nnz), ms=round(dt * 1e3, 1), device=dev)
+
+    # ---- PageRank to eps=1e-6 ----
+    outdeg = np.asarray(A.sum(axis=0)).ravel()
+    outdeg[outdeg == 0] = 1
+    Ap = F.csr_from_scipy(A.multiply(0.85 / outdeg).tocsr().astype(np.float32))
+    p = alg.pr(Ap, 0.85, 1e-6)
+    jax.block_until_ready(p.values)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        p = alg.pr(Ap, 0.85, 1e-6)
+        jax.block_until_ready(p.values)
+    dt = (time.perf_counter() - t0) / reps
+    emit("pagerank_ms", dt * 1e3, "ms", n=n, nnz=int(nnz), device=dev)
+
+    # ---- SpGEMM (masked mxmT, triangle counting core) ----
+    nt = 1 << (12 if args.small else 15)
+    At = random_graph(nt, 24, seed=3)
+    Atc = F.csr_from_scipy(At.astype(np.int32))
+    from spla_tpu.ops.spgemm import count_mxmT_products
+
+    t0 = time.perf_counter()
+    tri = alg.tc(Atc)
+    dt = time.perf_counter() - t0
+    prods = count_mxmT_products(Atc, Atc)
+    emit("masked_spgemm_mprod_s", prods / dt / 1e6, "Mproducts/s",
+         n=nt, nnz=int(At.nnz), triangles_x6=int(tri),
+         ms=round(dt * 1e3, 1), device=dev)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ def __getattr__(name):
     # heavier subsystems lazily (facade pulls in the whole op layer)
     import importlib
 
-    if name in ("Matrix", "Vector", "Array"):
+    if name in ("Matrix", "Vector", "Array", "MemView"):
         facade = importlib.import_module(".facade", __name__)
         return getattr(facade, name)
     if name == "MtxLoader":

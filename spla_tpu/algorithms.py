@@ -36,6 +36,13 @@ from .descriptor import Descriptor
 from .formats import csr_transpose_host
 from .ops.spmv import masked_spmv, masked_spmv_structural
 
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
 __all__ = [
     "bfs",
     "sssp",
@@ -81,16 +88,50 @@ def _bfs_kernel(At: CsrMatrix, source):
     return v
 
 
+@partial(jax.jit, static_argnames=())
+def _bfs_kernel_pallas(fmt, source):
+    """BFS levels with the Pallas cell-SpMV as the traversal kernel: the
+    frontier is a {0,1} f32 vector, hits = A^T @ front counted on the MXU
+    (0/1 products are exact in one bf16 split)."""
+    from .pallas.spmv import cell_spmv_apply
+
+    n = fmt.m
+    v0 = jnp.zeros((n,), jnp.int32)
+    front0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
+
+    def cond(state):
+        return state[3] > 0
+
+    def body(state):
+        v, front, depth, _ = state
+        v = jnp.where(front > 0, depth, v)
+        hits = cell_spmv_apply(fmt, front, scatter_mode="bf16x1")
+        front_new = jnp.where((hits > 0) & (v == 0), 1.0, 0.0)
+        return (v, front_new, depth + 1, jnp.sum(front_new))
+
+    v, _, _, _ = lax.while_loop(
+        cond, body, (v0, front0, jnp.int32(1), jnp.float32(1))
+    )
+    return v
+
+
 def bfs(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
         At: CsrMatrix | None = None) -> DenseVec:
     """Reference signature: ``bfs(v, A, s, desc)`` — returns depth vector.
 
     ``At`` (CSR of A^T) enables push traversal; defaults to A (exact for
     the undirected benchmark graphs).  All traversal modes produce
-    identical depths; the loop runs fully on device.
+    identical depths; the loop runs fully on device.  On TPU the
+    traversal step runs the Pallas cell-SpMV kernel.
     """
     if At is None:
         At = A
+    if _on_tpu():
+        from .pallas.spmv import get_structural_format
+
+        fmt = get_structural_format(At)
+        v = _bfs_kernel_pallas(fmt, jnp.asarray(source, jnp.int32))
+        return DenseVec(v, jnp.int32(0))
     v = _bfs_kernel(At, jnp.asarray(source, jnp.int32))
     return DenseVec(v, jnp.int32(0))
 
@@ -214,8 +255,34 @@ def _pr_kernel(A: CsrMatrix, alpha, eps):
     return p
 
 
+@jax.jit
+def _pr_kernel_pallas(fmt, alpha, eps):
+    from .pallas.spmv import cell_spmv_apply
+
+    n = fmt.m
+    addition = (1.0 - alpha) / n
+    p0 = jnp.full((n,), 1.0 / n, jnp.float32)
+
+    def cond(state):
+        return state[1] > eps
+
+    def body(state):
+        p_prev, _ = state
+        p = cell_spmv_apply(fmt, p_prev) + addition
+        err = jnp.sqrt(jnp.sum((p - p_prev) ** 2))
+        return (p, err)
+
+    p, _ = lax.while_loop(cond, body, (p0, jnp.float32(eps) + 0.1))
+    return p
+
+
 def pr(A: CsrMatrix, alpha: float = 0.85, eps: float = 1e-6,
        descriptor: Descriptor | None = None) -> DenseVec:
+    if _on_tpu() and A.values.dtype == jnp.float32:
+        from .pallas.spmv import get_cell_format
+
+        p = _pr_kernel_pallas(get_cell_format(A), jnp.float32(alpha), jnp.float32(eps))
+        return DenseVec(p, jnp.float32(0))
     p = _pr_kernel(A, jnp.float32(alpha), jnp.float32(eps))
     return DenseVec(p, jnp.float32(0))
 

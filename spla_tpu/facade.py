@@ -129,6 +129,40 @@ def _sval(x):
     return x.get() if isinstance(x, Scalar) else x
 
 
+class MemView:
+    """Non-owning view over host memory for zero-copy build/read
+    (reference ``include/spla/memview.hpp:48-64``).  On TPU the host
+    buffer is necessarily copied at device upload; the view is the
+    zero-copy HOST handle the bulk build/read APIs accept."""
+
+    def __init__(self, array):
+        self._np = np.asarray(array)
+
+    @staticmethod
+    def make(array) -> "MemView":
+        return MemView(array)
+
+    @property
+    def size(self) -> int:
+        return int(self._np.nbytes)
+
+    def read(self, offset=0, size=None):
+        flat = self._np.reshape(-1).view(np.uint8)
+        end = len(flat) if size is None else offset + size
+        return flat[offset:end]
+
+    def write(self, offset, data):
+        flat = self._np.reshape(-1).view(np.uint8)
+        data = np.frombuffer(bytes(data), np.uint8)
+        flat[offset : offset + data.size] = data
+
+    def to_numpy(self):
+        return self._np
+
+    def __array__(self, dtype=None):
+        return np.asarray(self._np, dtype=dtype)
+
+
 class Array:
     """Dense typed 1-D array for construction/inspection (reference
     ``python/pyspla/array.py``)."""

@@ -30,6 +30,7 @@ from .matrix import (
     m_transpose,
 )
 from .spgemm import count_mxm_products, count_mxmT_products, mxm, mxmT_masked
+from .bsr import bsr_spmm, bsr_spmv
 
 __all__ = [
     "masked_spmv",
@@ -56,4 +57,6 @@ __all__ = [
     "mxmT_masked",
     "count_mxm_products",
     "count_mxmT_products",
+    "bsr_spmv",
+    "bsr_spmm",
 ]

@@ -456,15 +456,17 @@ def _make_kernel(op_mul, scatter_mode, cwr):
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST,
                 )
-            else:  # exact bf16 3-split
+            else:  # bf16 k-split: k=3 covers all 24 f32 mantissa bits (exact)
+                k_splits = int(scatter_mode[len("bf16x"):])
                 A = gm.astype(jnp.bfloat16)
                 Lb = lm.astype(jnp.bfloat16)
-                p = prod[s]
-                hi = p.astype(jnp.bfloat16)
-                r1 = p - hi.astype(jnp.float32)
-                mid = r1.astype(jnp.bfloat16)
-                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                for part in (hi, mid, lo):
+                rem = prod[s]
+                parts = []
+                for _ in range(k_splits):
+                    hi = rem.astype(jnp.bfloat16)
+                    parts.append(hi)
+                    rem = rem - hi.astype(jnp.float32)
+                for part in parts:
                     PB = Lb * jnp.broadcast_to(part[None, :], (128, 128))
                     acc = acc + lax.dot_general(
                         A, PB, (((1,), (1,)), ((), ())),
@@ -524,10 +526,33 @@ _FORMAT_CACHE: dict = {}
 
 
 def get_cell_format(A: CsrMatrix, cw: int = 16384) -> CellSpmv:
-    key = (id(A.values), cw)
+    key = (id(A.values), cw, "v")
     fmt = _FORMAT_CACHE.get(key)
     if fmt is None:
         fmt = build_cell_spmv(A, cw=cw)
+        _FORMAT_CACHE[key] = fmt
+    return fmt
+
+
+def get_structural_format(A: CsrMatrix, cw: int = 16384) -> CellSpmv:
+    """Cell format of A's PATTERN (all values 1.0f) — BFS-style structural
+    traversal; products are {0,1}, exact in a single bf16 split."""
+    key = (id(A.values), cw, "s")
+    fmt = _FORMAT_CACHE.get(key)
+    if fmt is None:
+        from ..formats import lookup_host_arrays
+
+        nnz = int(np.asarray(A.nnz))
+        host = lookup_host_arrays(A.values)
+        if host is not None:
+            rows, cols, _ = (a[:nnz] for a in host)
+        else:
+            rows = np.asarray(A.row_ids)[:nnz]
+            cols = np.asarray(A.cols)[:nnz]
+        m, n = A.shape
+        fmt = build_cell_spmv_arrays(
+            m, n, rows, cols, np.ones(nnz, np.float32), cw=cw
+        )
         _FORMAT_CACHE[key] = fmt
     return fmt
 
@@ -543,8 +568,8 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
 
     mul = None
-    if op_mul is not None and getattr(op_mul, "name", "MULT") != "MULT":
-        mul = op_mul.fn
+    if op_mul is not None and getattr(op_mul, "name", None) != "MULT":
+        mul = getattr(op_mul, "fn", op_mul)
 
     def fn(_A, x, fmt=fmt, mul=mul):
         r = cell_spmv_apply(fmt, x, op_mul=mul)

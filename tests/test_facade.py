@@ -149,3 +149,17 @@ def test_rand_constructors():
     v = Vector.rand(10, INT, density=0.5, seed=1, dist=(1, 5))
     i, x = v.read()
     assert np.all((x >= 1) & (x <= 5))
+
+
+def test_memview_roundtrip():
+    import numpy as np
+
+    from spla_tpu.facade import MemView
+
+    a = np.arange(8, dtype=np.int32)
+    v = MemView.make(a)
+    assert v.size == 32
+    raw = bytes(v.read())
+    v.write(0, raw[4:8] + raw[0:4] + raw[8:])
+    assert a[0] == 1 and a[1] == 0
+    assert np.asarray(v).dtype == np.int32
