@@ -89,6 +89,7 @@ def main():
     Atc = F.csr_from_scipy(At.astype(np.int32))
     from spla_tpu.ops.spgemm import count_mxmT_products
 
+    tri = alg.tc(Atc)  # warm-up: jit compile
     t0 = time.perf_counter()
     tri = alg.tc(Atc)
     dt = time.perf_counter() - t0

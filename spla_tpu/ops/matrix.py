@@ -6,6 +6,8 @@ Functional equivalents of the reference matrix suite
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -100,6 +102,7 @@ def _merge_ewise(a, b, op, union: bool, out_capacity=None):
     return coo_to_csr(coo)
 
 
+@partial(jax.jit, static_argnames=("op", "out_capacity"))
 def m_eadd(a, b, op, out_capacity=None) -> CsrMatrix:
     """R = A (+) B union merge (reference exec_m_eadd).  NOTE the reference
     emits *unmatched* entries unchanged (no op against fill, unlike
@@ -107,11 +110,13 @@ def m_eadd(a, b, op, out_capacity=None) -> CsrMatrix:
     return _merge_ewise(a, b, op, union=True, out_capacity=out_capacity)
 
 
+@partial(jax.jit, static_argnames=("op", "out_capacity"))
 def m_emult(a, b, op, out_capacity=None) -> CsrMatrix:
     """R = A (*) B intersection merge (reference exec_m_emult)."""
     return _merge_ewise(a, b, op, union=False, out_capacity=out_capacity)
 
 
+@partial(jax.jit, static_argnames=("op_reduce",))
 def m_reduce(init, M, op_reduce) -> Scalar:
     """Scalar reduction over all stored values (reference exec_m_reduce,
     ``cpu_m_reduce.hpp``, OpenCL ``cl_m_reduce.hpp:76-85``)."""
@@ -123,6 +128,7 @@ def m_reduce(init, M, op_reduce) -> Scalar:
     return Scalar(out[0])
 
 
+@partial(jax.jit, static_argnames=("op_reduce",))
 def m_reduce_by_row(M, op_reduce, init) -> DenseVec:
     """r[i] = fold over row i (reference exec_m_reduce_by_row)."""
     m, n = M.shape
@@ -134,6 +140,7 @@ def m_reduce_by_row(M, op_reduce, init) -> DenseVec:
     return DenseVec(out, init_a)
 
 
+@partial(jax.jit, static_argnames=("op_reduce",))
 def m_reduce_by_column(M, op_reduce, init) -> DenseVec:
     """r[j] = fold over column j (reference exec_m_reduce_by_column).
     Column ids are unsorted in CSR order → sorted generic path or scatter."""
@@ -147,6 +154,7 @@ def m_reduce_by_column(M, op_reduce, init) -> DenseVec:
     return DenseVec(out, init_a)
 
 
+@partial(jax.jit, static_argnames=("op_apply",))
 def m_transpose(M, op_apply) -> CsrMatrix:
     """R = op_apply(M^T) (reference exec_m_transpose, ``cpu_m_transpose.hpp``).
     Device-side: sort entries by (col, row)."""
@@ -169,6 +177,7 @@ def m_transpose(M, op_apply) -> CsrMatrix:
     return coo_to_csr(out)
 
 
+@partial(jax.jit, static_argnames=("op_apply", "out_capacity"))
 def m_extract_row(M: CsrMatrix, index, op_apply, out_capacity: int | None = None) -> SparseVec:
     """r = op_apply(M[index, :]) as a sparse vector (reference
     exec_m_extract_row, ``cpu_m_extract_row.hpp``)."""
@@ -187,6 +196,7 @@ def m_extract_row(M: CsrMatrix, index, op_apply, out_capacity: int | None = None
     )
 
 
+@partial(jax.jit, static_argnames=("op_apply", "out_capacity"))
 def m_extract_column(M: CsrMatrix, index, op_apply, out_capacity: int | None = None) -> SparseVec:
     """r = op_apply(M[:, index]) as a sparse vector (reference
     exec_m_extract_column — per-row lower_bound,
@@ -213,6 +223,7 @@ def m_extract_column(M: CsrMatrix, index, op_apply, out_capacity: int | None = N
     )
 
 
+@partial(jax.jit, static_argnames=("op_mul", "out_capacity"))
 def kron(A, B, op_mul, out_capacity: int | None = None) -> CsrMatrix:
     """R = A (x) B Kronecker product (reference exec_kron,
     ``cpu_kron.hpp:70-108``)."""

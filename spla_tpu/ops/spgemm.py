@@ -25,6 +25,8 @@ caller (facade) mirrors the reference's counter-readback sync anyway.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -33,8 +35,8 @@ from jax import lax
 
 from ..containers import CooMatrix, CsrMatrix, Scalar
 from ..formats import coo_to_csr
-from ..utils.search import rowwise_find
-from ..utils.segments import segmented_scan_fold
+from ..utils.search import bisect_steps, rowwise_find
+from ..utils.segments import segment_fold
 
 __all__ = ["mxm", "mxmT_masked", "count_mxm_products", "count_mxmT_products"]
 
@@ -88,14 +90,26 @@ def mxm(
 ) -> CsrMatrix:
     """R = A * B over the (op_mul, op_add) semiring; entries whose
     accumulated value equals ``init`` are not stored (reference
-    ``cpu_mxm.hpp:109-113``).  Result fill = init."""
+    ``cpu_mxm.hpp:109-113``).  Result fill = init.
+
+    Symbolic sizing runs host-side (the reference's atomic-counter pass);
+    the numeric phase is ONE jitted program keyed on the static caps."""
+    init_a = _scalar(init, A.values.dtype)
+    if products_cap is None:
+        products_cap = max(count_mxm_products(A, B), 1)
+    return _mxm_numeric(
+        A, B, init_a, op_mul, op_add, int(products_cap),
+        int(out_capacity) if out_capacity is not None else None,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("op_mul", "op_add", "products_cap", "out_capacity")
+)
+def _mxm_numeric(A, B, init_a, op_mul, op_add, products_cap, out_capacity):
     m, k = A.shape
     k2, n = B.shape
     assert k == k2, "mxm shape mismatch"
-    dtype = A.values.dtype
-    init_a = _scalar(init, dtype)
-    if products_cap is None:
-        products_cap = max(count_mxm_products(A, B), 1)
 
     deg_b = jnp.diff(B.indptr)
     a_cols = jnp.clip(A.cols, 0, max(k - 1, 0))
@@ -121,20 +135,26 @@ def mxm(
             (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1]),
         ]
     )
-    scan_v, scan_h = segmented_scan_fold(prod, slot_valid, heads, op_add)
-    is_last = jnp.concatenate([heads[1:], jnp.ones((1,), jnp.bool_)])
-    folded = op_add(jnp.full_like(scan_v, init_a), scan_v)
-    keep = is_last & scan_h & (rows < m) & (folded != init_a)
-
     cap = products_cap
+    # fold duplicate (row, col) runs: run ids come from the sort, then the
+    # reduction takes segment_fold's scatter path for hardware monoids
+    # (a single TPU scatter-add) or the segmented scan otherwise
+    run_id = (jnp.cumsum(heads) - 1).astype(jnp.int32)
+    folded, has = segment_fold(prod, run_id, slot_valid, cap, op_add, init_a)
+    (head_pos,) = jnp.nonzero(heads, size=cap, fill_value=cap)
+    head_c = jnp.clip(head_pos, 0, cap - 1)
+    run_rows = jnp.where(head_pos < cap, rows[head_c], m)
+    run_cols = jnp.where(head_pos < cap, cols[head_c], n)
+    keep = has & (run_rows < m) & (folded != init_a)
+
     out_cap = out_capacity if out_capacity is not None else cap
     (pos,) = jnp.nonzero(keep, size=out_cap, fill_value=cap)
     posc = jnp.clip(pos, 0, cap - 1)
     ok = pos < cap
     coo = CooMatrix(
         shape=(m, n),
-        rows=jnp.where(ok, rows[posc], m).astype(jnp.int32),
-        cols=jnp.where(ok, cols[posc], 0).astype(jnp.int32),
+        rows=jnp.where(ok, run_rows[posc], m).astype(jnp.int32),
+        cols=jnp.where(ok, run_cols[posc], 0).astype(jnp.int32),
         values=jnp.where(ok, folded[posc], init_a),
         nnz=jnp.sum(keep).astype(jnp.int32),
         fill=init_a,
@@ -157,12 +177,30 @@ def mxmT_masked(
     ``include/spla/exec.hpp:104-131``): for each mask entry (i, j) with
     select(mask_x): R[i,j] = fold(add, init, mul(A[i,k], B[j,k]) over the
     column intersection); entries equal to init are dropped."""
-    m, n = mask.shape
-    dtype = A.values.dtype
-    init_a = _scalar(init, dtype)
+    init_a = _scalar(init, A.values.dtype)
     if products_cap is None:
         products_cap = max(count_mxmT_products(mask, B), 1)
+    # tight static bisection bound from A's max row degree: every extra
+    # step is a full-width TPU gather over all product slots
+    max_deg_a = int(np.diff(np.asarray(A.indptr)).max(initial=0))
+    steps = bisect_steps(max(max_deg_a, 1))
+    return _mxmT_numeric(
+        mask, A, B, init_a, op_mul, op_add, op_select, int(products_cap),
+        int(out_capacity) if out_capacity is not None else None, steps,
+    )
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "op_mul", "op_add", "op_select", "products_cap", "out_capacity", "steps"
+    ),
+)
+def _mxmT_numeric(
+    mask, A, B, init_a, op_mul, op_add, op_select, products_cap, out_capacity,
+    steps=32,
+):
+    m, n = mask.shape
     deg_b = jnp.diff(B.indptr)
     mask_cols = jnp.clip(mask.cols, 0, max(B.shape[0] - 1, 0))
     src, local, slot_valid = _expand_schedule(
@@ -175,32 +213,30 @@ def mxmT_masked(
     b_val = B.values[b_pos]
     # lookup A[i, kk]
     i_c = jnp.clip(i, 0, max(m - 1, 0))
-    a_pos, found = rowwise_find(A.cols, A.indptr[i_c], A.indptr[i_c + 1], kk)
+    a_pos, found = rowwise_find(
+        A.cols, A.indptr[i_c], A.indptr[i_c + 1], kk, steps=steps
+    )
     a_val = A.values[jnp.clip(a_pos, 0, max(A.capacity - 1, 0))]
     prod = op_mul(a_val, b_val)
     valid = slot_valid & sel & found
 
-    # segment = source mask entry (already sorted by construction)
-    seg_heads = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), src[1:] != src[:-1]]
-    )
-    scan_v, scan_h = segmented_scan_fold(prod, valid, seg_heads, op_add)
-    is_last = jnp.concatenate([seg_heads[1:], jnp.ones((1,), jnp.bool_)])
-    folded = op_add(jnp.full_like(scan_v, init_a), scan_v)
-    keep = is_last & scan_h & slot_valid & (folded != init_a)
+    # fold per SOURCE MASK ENTRY (src is sorted by construction): the
+    # scatter path of segment_fold applies for hardware monoids
+    # (add/min/max/mul); others take the segmented-scan path
+    mcap = mask.capacity
+    seg = jnp.where(valid, src, mcap).astype(jnp.int32)
+    folded, has = segment_fold(prod, seg, valid, mcap, op_add, init_a)
+    sel_e = op_select(mask.values) & mask.valid_mask()
+    keep = has & sel_e & (folded != init_a)
 
-    rows = jnp.where(keep, i, m).astype(jnp.int32)
-    cols = jnp.where(keep, mask.cols[src], 0).astype(jnp.int32)
-
-    cap = products_cap
-    out_cap = out_capacity if out_capacity is not None else min(cap, mask.capacity)
-    (pos,) = jnp.nonzero(keep, size=out_cap, fill_value=cap)
-    posc = jnp.clip(pos, 0, cap - 1)
-    ok = pos < cap
+    out_cap = out_capacity if out_capacity is not None else mcap
+    (pos,) = jnp.nonzero(keep, size=out_cap, fill_value=mcap)
+    posc = jnp.clip(pos, 0, mcap - 1)
+    ok = pos < mcap
     coo = CooMatrix(
         shape=(m, n),
-        rows=jnp.where(ok, rows[posc], m).astype(jnp.int32),
-        cols=jnp.where(ok, cols[posc], 0).astype(jnp.int32),
+        rows=jnp.where(ok, mask.row_ids[posc], m).astype(jnp.int32),
+        cols=jnp.where(ok, mask.cols[posc], 0).astype(jnp.int32),
         values=jnp.where(ok, folded[posc], init_a),
         nnz=jnp.sum(keep).astype(jnp.int32),
         fill=init_a,

@@ -127,6 +127,7 @@ def best_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     return xla_fn
 
 
+@partial(jax.jit, static_argnames=("op_mul", "op_add", "op_select", "desc"))
 def mxv_masked(
     mask: DenseVec,
     M: CsrMatrix,
@@ -154,6 +155,7 @@ def mxv_masked(
     return DenseVec(out, init_a)
 
 
+@partial(jax.jit, static_argnames=("op_mul", "op_add", "op_select", "desc", "out_capacity"))
 def vxm_masked(
     mask: DenseVec,
     v,

@@ -10,6 +10,8 @@ fill value on non-matching entries — ``cpu_v_eadd.hpp`` spNsp).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -74,6 +76,7 @@ def _compact(idx, vals, keep, n, cap, fill):
     return SparseVec(n=n, indices=out_idx, values=out_val, nnz=nnz, fill=fill)
 
 
+@partial(jax.jit, static_argnames=("op",))
 def v_eadd(u, v, op):
     """r = u (+) v element-wise union (reference exec_v_eadd,
     ``include/spla/exec.hpp:381-401``)."""
@@ -86,6 +89,7 @@ def v_eadd(u, v, op):
     return _compact(idx, combined, keep, u.n, cap, op(u.fill, v.fill))
 
 
+@partial(jax.jit, static_argnames=("op",))
 def v_emult(u, v, op):
     """r = u (*) v element-wise intersection (reference exec_v_emult;
     sparse path keeps only matched indices — ``cpu_v_emult.hpp``)."""
@@ -118,6 +122,7 @@ def _as_sparse(x) -> SparseVec:
     return dense_to_sparse_vec(x)
 
 
+@partial(jax.jit, static_argnames=("op",))
 def v_map(v, op):
     """r = op(v) per stored entry (reference exec_v_map)."""
     if isinstance(v, DenseVec):
@@ -127,6 +132,7 @@ def v_map(v, op):
     )
 
 
+@partial(jax.jit, static_argnames=("op_reduce",))
 def v_reduce(init, v, op_reduce) -> Scalar:
     """r = fold(op, init, stored values of v) (reference exec_v_reduce).
 
@@ -145,6 +151,7 @@ def v_reduce(init, v, op_reduce) -> Scalar:
     return Scalar(out[0])
 
 
+@jax.jit
 def v_count_mf(v) -> Scalar:
     """Count meaningful (stored) entries (reference exec_v_count_mf,
     ``include/spla/exec.hpp:497-519``; dense counts != fill_value)."""
@@ -153,6 +160,7 @@ def v_count_mf(v) -> Scalar:
     return Scalar(v.nnz.astype(jnp.uint32))
 
 
+@partial(jax.jit, static_argnames=("op_assign", "op_select"))
 def v_assign_masked(r: DenseVec, mask, value, op_assign, op_select) -> DenseVec:
     """r[i] = op_assign(r[i], value) where select(mask[i]) (reference
     exec_v_assign_masked, ``cpu_v_assign.hpp``).  Sparse masks test stored
@@ -171,6 +179,7 @@ def v_assign_masked(r: DenseVec, mask, value, op_assign, op_select) -> DenseVec:
     return DenseVec(new_vals, r.fill)
 
 
+@partial(jax.jit, static_argnames=("op",))
 def v_eadd_fdb(r: DenseVec, v, op):
     """Element-wise add with *feedback*: r' = op(r, v); fdb gets entries
     whose value changed (reference exec_v_eadd_fdb,

@@ -235,10 +235,13 @@ def dist_mxm(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "cap", "op_mul", "op_add", "op_select", "meta"),
+    static_argnames=(
+        "mesh", "axis", "cap", "op_mul", "op_add", "op_select", "meta", "steps"
+    ),
 )
 def _dist_mxmT_reduce_impl(
-    mesh, m_arrs, a_arrs, b_arrs, init, cap, op_mul, op_add, op_select, meta, axis
+    mesh, m_arrs, a_arrs, b_arrs, init, cap, op_mul, op_add, op_select, meta, axis,
+    steps=32,
 ):
     (mloc_m, mloc_b, n_shards, m_cap, a_cap, b_cap, m_rows_total) = meta
 
@@ -266,7 +269,7 @@ def _dist_mxmT_reduce_impl(
             kk = bc[b_pos]
             b_val = bv[b_pos]
             i = jnp.clip(m_rows_[src], 0, ai.shape[0] - 2)
-            a_pos, found = rowwise_find(ac, ai[i], ai[i + 1], kk)
+            a_pos, found = rowwise_find(ac, ai[i], ai[i + 1], kk, steps=steps)
             a_val = av[jnp.clip(a_pos, 0, a_cap - 1)]
             prod = op_mul(a_val, b_val)
             ok = slot_ok & found
@@ -313,6 +316,10 @@ def dist_mxmT_masked_reduce(
     ``src/algorithm.cpp:380-414``.)"""
     cap = products_cap if products_cap is not None else count_dist_mxmT_cap(mask, B)
     cap = max(int(cap), 1)
+    from ..utils.search import bisect_steps
+
+    max_deg_a = int(np.diff(np.asarray(A.indptr), axis=1).max(initial=0))
+    steps = bisect_steps(max(max_deg_a, 1))
     init_a = jnp.asarray(init, A.values.dtype)
     meta = (
         mask.mloc, B.mloc, mask.n_shards,
@@ -323,7 +330,7 @@ def dist_mxmT_masked_reduce(
     b_arrs = (B.indptr, B.cols, B.values)
     out = _dist_mxmT_reduce_impl(
         mesh, m_arrs, a_arrs, b_arrs, init_a, cap,
-        op_mul, op_add, op_select, meta, axis,
+        op_mul, op_add, op_select, meta, axis, steps,
     )
     return np.asarray(out)[0] + np.asarray(init_a)
 

@@ -16,11 +16,14 @@ from jax import lax
 __all__ = ["rowwise_find"]
 
 
-def rowwise_find(flat_sorted, lo, hi, keys):
+def rowwise_find(flat_sorted, lo, hi, keys, steps: int = 32):
     """For each query: search ``flat_sorted[lo:hi]`` (sorted asc) for key.
 
     Returns ``(pos, found)`` where pos is the index into ``flat_sorted`` of
-    the match (undefined when not found).
+    the match (undefined when not found).  ``steps`` (static) bounds the
+    bisection: ``ceil(log2(max window + 1))`` suffices — each step is a
+    full-width TPU gather, so callers that know the max row degree should
+    pass a tight bound (32 covers any int32 window).
     """
     lo = lo.astype(jnp.int32)
     hi = hi.astype(jnp.int32)
@@ -35,8 +38,15 @@ def rowwise_find(flat_sorted, lo, hi, keys):
         h = jnp.where(go_right, h, mid)
         return (l, h)
 
-    # 32 iterations cover any int32 window
-    l, _ = lax.fori_loop(0, 32, body, (lo, hi))
+    l, _ = lax.fori_loop(0, steps, body, (lo, hi))
     pos = jnp.clip(l, 0, flat_sorted.shape[0] - 1)
     found = (l < hi) & (flat_sorted[pos] == keys)
     return pos, found
+
+
+def bisect_steps(max_window: int) -> int:
+    """Static step count covering windows up to ``max_window``."""
+    s = 1
+    while (1 << s) <= max_window:
+        s += 1
+    return s
