@@ -707,3 +707,48 @@ class Matrix:
 
     def __iter__(self):
         return iter(self.to_list())
+
+
+# ---------------------------------------------------------------------------
+# Profiling instrumentation: every eager-dispatch method opens a profiler
+# scope (reference: every backend algo opens a TIME_PROFILE_SCOPE, e.g.
+# ``cl_vxm.hpp:74``).  The scope blocks on the result so wall times mean
+# device time, mirroring the reference's profiled-dispatch queue.finish()
+# (``cl_debug.hpp:36-103``).
+# ---------------------------------------------------------------------------
+
+
+def _instrument(cls, names):
+    import functools
+
+    from .profiling import profiler
+
+    for name in names:
+        fn = getattr(cls, name)
+
+        def make(fn, label):
+            @functools.wraps(fn)
+            def wrapped(*args, **kwargs):
+                if not profiler.enabled:
+                    return fn(*args, **kwargs)
+                with profiler.scope(label):
+                    out = fn(*args, **kwargs)
+                    dev = (
+                        getattr(out, "_dense_cache", None)
+                        or getattr(out, "_csr_cache", None)
+                    )
+                    if dev is not None:
+                        jax.block_until_ready(jax.tree_util.tree_leaves(dev))
+                    return out
+
+            return wrapped
+
+        setattr(cls, name, make(fn, f"{cls.__name__.lower()}_{name}"))
+
+
+_instrument(Matrix, [
+    "mxm", "mxmT", "kron", "kronpow", "mxv", "eadd", "emult",
+    "reduce_by_row", "reduce_by_column", "reduce", "transpose",
+    "extract_row", "extract_column",
+])
+_instrument(Vector, ["vxm", "eadd", "emult", "assign", "map", "reduce", "count_mf"])

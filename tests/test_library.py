@@ -54,3 +54,22 @@ def test_schedule_callback():
     s.add_step(make_sched_task_callback(lambda: hits.append("c")))
     s.submit()
     assert hits == ["a", "b", "c"]
+
+
+def test_profiler_scopes_facade_ops():
+    from spla_tpu import INT, get_library
+    from spla_tpu.facade import Matrix, Vector
+    from spla_tpu.profiling import profiler
+
+    profiler.reset()
+    A = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3], shape=(3, 3), dtype=INT)
+    A.mxm(A, INT.MULT, INT.PLUS)
+    v = Vector.from_lists([0, 2], [5, 7], (3,), INT)
+    v.reduce(INT.PLUS)
+    stats = profiler.stats()
+    assert "matrix_mxm" in stats and stats["matrix_mxm"]["count"] == 1
+    assert "vector_reduce" in stats
+    dump = get_library().time_profile_dump()
+    assert "matrix_mxm" in dump
+    profiler.reset()
+    assert profiler.stats() == {}

@@ -144,3 +144,29 @@ def test_eadd_fdb_custom_op():
     r2, fdb = v_eadd_fdb(r, v, clamp)
     np.testing.assert_array_equal(np.asarray(r2.values), [8, 9])
     np.testing.assert_array_equal(np.asarray(fdb.values), [8, 9])
+
+
+def test_parallel_primitives_parity():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spla_tpu import op
+    from spla_tpu.utils.primitives import (
+        exclusive_scan,
+        prefix_sum,
+        reduce_by_key,
+        sort_by_key,
+    )
+
+    k = jnp.asarray([3, 1, 2, 1, 3, 0], jnp.int32)
+    v = jnp.asarray([10, 20, 30, 40, 50, 60], jnp.int32)
+    ks, vs = sort_by_key(k, v)
+    np.testing.assert_array_equal(np.asarray(ks), [0, 1, 1, 2, 3, 3])
+    np.testing.assert_array_equal(np.asarray(vs), [60, 20, 40, 30, 10, 50])
+    out, has = reduce_by_key(ks, vs, op.PLUS_INT, 4)
+    np.testing.assert_array_equal(np.asarray(out), [60, 60, 30, 60])
+    assert bool(np.asarray(has).all())
+    np.testing.assert_array_equal(
+        np.asarray(prefix_sum(jnp.asarray([1, 2, 3, 4]))), [0, 1, 3, 6]
+    )
+    assert exclusive_scan is prefix_sum
