@@ -52,7 +52,7 @@ def run(argv=None) -> int:
         for _ in range(args.niters):
             t_cpu.lap_begin()
             v_cpu = algorithms.bfs(A_c, s, desc, At=At_c)
-            jax.block_until_ready(v_cpu.values)
+            np.asarray(v_cpu.values)
             t_cpu.lap_end()
 
     if args.run_acc:
@@ -60,7 +60,7 @@ def run(argv=None) -> int:
         for _ in range(args.niters):
             t_acc.lap_begin()
             v_acc = algorithms.bfs(A_a, s, desc, At=At_a)
-            jax.block_until_ready(v_acc.values)
+            np.asarray(v_acc.values)
             t_acc.lap_end()
 
     ok = True

@@ -53,7 +53,7 @@ def run(argv=None) -> int:
         for _ in range(args.niters):
             t_cpu.lap_begin()
             p_cpu = algorithms.pr(A_c, args.alpha, args.eps, desc)
-            jax.block_until_ready(p_cpu.values)
+            np.asarray(p_cpu.values)
             t_cpu.lap_end()
 
     if args.run_acc:
@@ -61,7 +61,7 @@ def run(argv=None) -> int:
         for _ in range(args.niters):
             t_acc.lap_begin()
             p_acc = algorithms.pr(A_a, args.alpha, args.eps, desc)
-            jax.block_until_ready(p_acc.values)
+            np.asarray(p_acc.values)
             t_acc.lap_end()
 
     ok = True

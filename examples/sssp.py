@@ -53,7 +53,7 @@ def run(argv=None) -> int:
         for _ in range(args.niters):
             t_cpu.lap_begin()
             v_cpu = algorithms.sssp(At_c, s, desc, At=At_c)
-            jax.block_until_ready(v_cpu.values)
+            np.asarray(v_cpu.values)
             t_cpu.lap_end()
 
     if args.run_acc:
@@ -61,7 +61,7 @@ def run(argv=None) -> int:
         for _ in range(args.niters):
             t_acc.lap_begin()
             v_acc = algorithms.sssp(At_a, s, desc, At=At_a)
-            jax.block_until_ready(v_acc.values)
+            np.asarray(v_acc.values)
             t_acc.lap_end()
 
     ok = True
