@@ -83,6 +83,21 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     emit("pagerank_ms", dt * 1e3, "ms", n=n, nnz=int(nnz), device=dev)
 
+    # ---- SSSP (min-plus Pallas monoid kernel) ----
+    rng = np.random.default_rng(2)
+    wvals = rng.uniform(0.1, 2.0, A.nnz).astype(np.float32)
+    Aw = A.copy()
+    Aw.data = wvals
+    Awc = F.csr_from_scipy(Aw, fill=np.float32(np.inf))
+    v = alg.sssp(Awc, 0, At=Awc)
+    np.asarray(jnp.sum(jnp.where(jnp.isfinite(v.values), v.values, 0)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v = alg.sssp(Awc, 0, At=Awc)
+        np.asarray(jnp.sum(jnp.where(jnp.isfinite(v.values), v.values, 0)))
+    dt = (time.perf_counter() - t0) / reps
+    emit("sssp_ms", dt * 1e3, "ms", n=n, nnz=int(A.nnz), device=dev)
+
     # ---- SpGEMM (masked mxmT, triangle counting core) ----
     nt = 1 << (12 if args.small else 15)
     At = random_graph(nt, 24, seed=3)

@@ -36,9 +36,10 @@ struct Pack {
     int32_t* rb = nullptr;     // [n_tiles]
     int32_t* wb = nullptr;     // [n_tiles]
     int32_t* first = nullptr;  // [n_tiles]
+    int8_t* invl = nullptr;    // [n_tiles * 8 * 128] (monoid mode only)
     ~Pack() {
         std::free(vals); std::free(pk); std::free(route);
-        std::free(rb); std::free(wb); std::free(first);
+        std::free(rb); std::free(wb); std::free(first); std::free(invl);
     }
 };
 
@@ -47,6 +48,8 @@ struct OpenTile {
     int64_t id;              // global tile index
     int16_t* claim;          // [cwr * 128] claimed b per (w7, lane), -1 free
     uint8_t sub_count[128];  // entries per lane (max 8)
+    uint8_t slot_taken[8][128];  // monoid mode: explicit slot occupancy
+    uint8_t l_used[8][128];      // monoid mode: output-l per sublane row
     int32_t used;
 };
 
@@ -54,9 +57,15 @@ struct OpenTile {
 
 extern "C" {
 
+// mode 0: PLUS packing (route constraint only).
+// mode 1: monoid packing — additionally each sublane row's OUTPUT lanes
+//         (l = row % 128) are distinct, and an inverse-lane table
+//         invl[t][s][l] = slot lane of the row-s entry with that l is
+//         emitted, enabling the VPU compare-select scatter for ANY monoid
+//         (min/max/or/...), not just MXU-able PLUS.
 void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                    const int32_t* rows, const int32_t* cols,
-                   const float* vals) {
+                   const float* vals, int32_t mode) {
     const int64_t n_rb = (m + ROW_BLOCK - 1) / ROW_BLOCK > 0
                              ? (m + ROW_BLOCK - 1) / ROW_BLOCK
                              : 1;
@@ -115,6 +124,10 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         if (!v) return false; out->wb = (int32_t*)v;
         v = std::realloc(out->first, na * sizeof(int32_t));
         if (!v) return false; out->first = (int32_t*)v;
+        if (mode == 1) {
+            v = std::realloc(out->invl, na * TILE);
+            if (!v) return false; out->invl = (int8_t*)v;
+        }
         alloc = na;
         return true;
     };
@@ -132,6 +145,8 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         t.id = t_next++;
         std::memset(t.claim, 0xFF, (size_t)cwr * 128 * sizeof(int16_t));
         std::memset(t.sub_count, 0, sizeof(t.sub_count));
+        std::memset(t.slot_taken, 0, sizeof(t.slot_taken));
+        std::memset(t.l_used, 0, sizeof(t.l_used));
         t.used = 0;
         std::memset(out->vals + t.id * TILE, 0, TILE * sizeof(float));
         std::memset(out->pk + t.id * TILE, 0, TILE * sizeof(int32_t));
@@ -139,6 +154,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         out->rb[t.id] = (int32_t)(cell / nwc);
         out->wb[t.id] = (int32_t)(cell % nwc);
         out->first[t.id] = 0;
+        if (mode == 1) std::memset(out->invl + t.id * TILE, 0xFF, TILE);
         return true;
     };
 
@@ -160,20 +176,31 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                 const int32_t local = row & (ROW_BLOCK - 1);
                 const int32_t g = local >> 7, l = local & 127;
 
-                int placed_tile = -1, placed_lane = -1;
+                int placed_tile = -1, placed_lane = -1, placed_sub = -1;
                 for (int k = 0; k < n_open && placed_tile < 0; ++k) {
                     OpenTile& t = tiles[(newest - k + PROBE_TILES) % PROBE_TILES];
                     if (t.used >= TILE) continue;
                     int16_t* crow = t.claim + (size_t)w7 * 128;
                     for (int pr = 0; pr < PROBE_LANES; ++pr) {
                         const int lane = (b + pr) & 127;
-                        if (t.sub_count[lane] >= 8) continue;
                         const int16_t c = crow[lane];
-                        if (c == -1 || c == b) {
-                            placed_tile = (newest - k + PROBE_TILES) % PROBE_TILES;
-                            placed_lane = lane;
-                            break;
+                        if (c != -1 && c != b) continue;
+                        if (mode == 0) {
+                            if (t.sub_count[lane] >= 8) continue;
+                            placed_sub = t.sub_count[lane];
+                        } else {
+                            placed_sub = -1;
+                            for (int sb = 0; sb < 8; ++sb) {
+                                if (!t.slot_taken[sb][lane] && !t.l_used[sb][l]) {
+                                    placed_sub = sb;
+                                    break;
+                                }
+                            }
+                            if (placed_sub < 0) continue;
                         }
+                        placed_tile = (newest - k + PROBE_TILES) % PROBE_TILES;
+                        placed_lane = lane;
+                        break;
                     }
                 }
                 if (placed_tile < 0) {
@@ -184,10 +211,15 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                     placed_tile = newest;
                     // fresh tile: the b-lane is free by construction
                     placed_lane = b & 127;
+                    placed_sub = 0;
                 }
                 OpenTile& t = tiles[placed_tile];
                 const int lane = placed_lane;
-                const int sub = t.sub_count[lane]++;
+                const int sub = (mode == 0) ? t.sub_count[lane]++ : placed_sub;
+                if (mode == 1) {
+                    t.slot_taken[sub][lane] = 1;
+                    t.l_used[sub][l] = 1;
+                }
                 t.claim[(size_t)w7 * 128 + lane] = (int16_t)b;
                 ++t.used;
                 const int64_t slot = t.id * TILE + sub * 128 + lane;
@@ -195,6 +227,8 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                 out->pk[slot] = w7 | (g << 7) | (l << 14) | VALID_BIT;
                 out->route[t.id * cwr * 128 + (size_t)w7 * 128 + lane] =
                     (int8_t)b;
+                if (mode == 1)
+                    out->invl[t.id * TILE + sub * 128 + l] = (int8_t)lane;
             }
         }
         if (!rb_has_tile) {  // empty row block still needs a zeroing tile
@@ -205,6 +239,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
             out->rb[t_next] = (int32_t)rbi;
             out->wb[t_next] = 0;
             out->first[t_next] = 0;
+            if (mode == 1) std::memset(out->invl + t_next * TILE, 0xFF, TILE);
             ++t_next;
         }
     }
@@ -215,8 +250,30 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         out->first[t] = (r != last_rb_emitted) ? 1 : 0;
         last_rb_emitted = r;
     }
+    if (mode == 1) {
+        // resolve invl sentinels: point absent-l slots at an INVALID slot
+        // lane of the same sublane row (a full row has no sentinels, since
+        // its 128 distinct l values cover every slot)
+        for (int64_t t = 0; t < t_next; ++t) {
+            for (int s = 0; s < 8; ++s) {
+                int fallback = -1;
+                for (int lane = 0; lane < 128; ++lane) {
+                    if (!(out->pk[t * TILE + s * 128 + lane] & VALID_BIT)) {
+                        fallback = lane;
+                        break;
+                    }
+                }
+                if (fallback < 0) continue;
+                int8_t* row = out->invl + t * TILE + s * 128;
+                for (int lane = 0; lane < 128; ++lane)
+                    if (row[lane] == (int8_t)0xFF) row[lane] = (int8_t)fallback;
+            }
+        }
+    }
     return out;
 }
+
+int8_t* cellpack_invl(void* h) { return ((Pack*)h)->invl; }
 
 int64_t cellpack_n_tiles(void* h) { return ((Pack*)h)->n_tiles; }
 float* cellpack_vals(void* h) { return ((Pack*)h)->vals; }

@@ -193,12 +193,51 @@ def _sssp_kernel(At: CsrMatrix, source):
     return v
 
 
+def _minplus_mul(av, xv):
+    return xv + av
+
+
+@jax.jit
+def _sssp_kernel_pallas(fmt, source):
+    """Min-plus relaxation with the Pallas monoid kernel (VPU
+    compare-select scatter accumulates MIN, which the MXU one-hot path
+    cannot)."""
+    from .pallas.spmv import monoid_cell_spmv_apply
+
+    n = fmt.m
+    inf = jnp.float32(jnp.inf)
+    v0 = jnp.full((n,), inf, jnp.float32).at[source].set(0.0)
+
+    def cond(state):
+        return state[1] > 0
+
+    def body(state):
+        v, _ = state
+        frontier = monoid_cell_spmv_apply(
+            fmt, v, op_mul=_minplus_mul, op_add=jnp.minimum, identity=float("inf")
+        )
+        new_v = jnp.minimum(v, frontier)
+        changed = jnp.sum(new_v != v).astype(jnp.int32)
+        return (new_v, changed)
+
+    v, _ = lax.while_loop(cond, body, (v0, jnp.int32(1)))
+    return v
+
+
 def sssp(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
          At: CsrMatrix | None = None) -> DenseVec:
     """Single-source shortest paths; fill/unreachable = +inf (reference
-    sets fill_value=inf, ``src/algorithm.cpp:176-178``)."""
+    sets fill_value=inf, ``src/algorithm.cpp:176-178``).  On TPU the
+    relaxation runs the Pallas min-plus monoid kernel."""
     if At is None:
         At = A
+    if _on_tpu() and At.values.dtype == jnp.float32:
+        from .pallas.spmv import get_monoid_format
+
+        fmt = get_monoid_format(At)
+        if fmt is not None:
+            v = _sssp_kernel_pallas(fmt, jnp.asarray(source, jnp.int32))
+            return DenseVec(v, jnp.float32(jnp.inf))
     v = _sssp_kernel(At, jnp.asarray(source, jnp.int32))
     return DenseVec(v, jnp.float32(jnp.inf))
 

@@ -39,7 +39,7 @@ def _native_lib():
         lib.cellpack_run.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
         ]
         lib.cellpack_n_tiles.restype = ctypes.c_int64
         lib.cellpack_n_tiles.argtypes = [ctypes.c_void_p]
@@ -50,6 +50,7 @@ def _native_lib():
             ("cellpack_rb", ctypes.c_int32),
             ("cellpack_wb", ctypes.c_int32),
             ("cellpack_first", ctypes.c_int32),
+            ("cellpack_invl", ctypes.c_int8),
         ):
             getattr(lib, name).restype = ctypes.POINTER(ct)
             getattr(lib, name).argtypes = [ctypes.c_void_p]
@@ -61,9 +62,11 @@ def _native_lib():
     return _LIB
 
 
-def native_pack(m, n, cw, rows, cols, vals):
-    """Returns (n_tiles, t_vals, t_pk, t_route, rb, wb, first) numpy arrays
-    (copies — the native handle is released before returning) or None."""
+def native_pack(m, n, cw, rows, cols, vals, mode=0):
+    """Returns (n_tiles, t_vals, t_pk, t_route, rb, wb, first[, invl])
+    numpy arrays (copies — the native handle is released before returning)
+    or None.  mode 0 = PLUS packing; mode 1 = monoid packing (adds the
+    inverse-lane table for the VPU compare-select scatter)."""
     lib = _native_lib()
     if lib is None:
         return None
@@ -75,7 +78,7 @@ def native_pack(m, n, cw, rows, cols, vals):
         nnz, m, n, cw,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), mode,
     )
     if not h:
         return None
@@ -90,6 +93,11 @@ def native_pack(m, n, cw, rows, cols, vals):
         rb = np.ctypeslib.as_array(lib.cellpack_rb(h), shape=(nt,)).copy()
         wb = np.ctypeslib.as_array(lib.cellpack_wb(h), shape=(nt,)).copy()
         first = np.ctypeslib.as_array(lib.cellpack_first(h), shape=(nt,)).copy()
+        if mode == 1:
+            invl = np.ctypeslib.as_array(
+                lib.cellpack_invl(h), shape=(nt, 8, 128)
+            ).copy()
+            return nt, t_vals, t_pk, t_route, rb, wb, first, invl
         return nt, t_vals, t_pk, t_route, rb, wb, first
     finally:
         lib.cellpack_release(h)

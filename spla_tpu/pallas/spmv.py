@@ -576,3 +576,169 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
         return r + init_f
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Any-monoid variant: VPU compare-select scatter (MIN/MAX/OR/... — monoids
+# the MXU one-hot trick cannot accumulate).  Uses the packer's monoid mode
+# (native/cellpack.cpp mode=1): output lanes are distinct within each
+# sublane row and an inverse-lane table invl[t][s][l] gives the slot lane
+# holding that l, so the scatter becomes ONE lane shuffle plus a
+# compare-select sweep — exact in f32 for any associative op.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MonoidCellSpmv:
+    m: int
+    n: int
+    cw: int
+    n_row_blocks: int
+    n_tiles: int
+    vals: jax.Array  # [T, 8, 128] f32
+    packed: jax.Array  # [T, 8, 128] int32
+    route: jax.Array  # [T, cw//128, 128] int8
+    invl: jax.Array  # [T, 8, 128] int8
+    rb_of_tile: jax.Array  # [T]
+    wb_of_tile: jax.Array  # [T]
+    is_first: jax.Array  # [T]
+    slots: int
+    nnz: int
+
+
+jax.tree_util.register_dataclass(
+    MonoidCellSpmv,
+    data_fields=["vals", "packed", "route", "invl", "rb_of_tile", "wb_of_tile",
+                 "is_first"],
+    meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz"],
+)
+
+
+def build_monoid_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 8192):
+    """Monoid-mode cell layout; requires the native packer (returns None
+    without a toolchain — callers fall back to the XLA path)."""
+    from .cellpack_native import native_pack
+
+    assert cw % 1024 == 0 and cw >= 1024
+    nnz = int(np.asarray(rows).shape[0])
+    n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
+    packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
+                         np.asarray(vals), mode=1)
+    if packed is None:
+        return None
+    nt, t_vals, t_pk, t_route, rb_t, wb_t, first_t, invl = packed
+    return MonoidCellSpmv(
+        m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
+        vals=jnp.asarray(t_vals), packed=jnp.asarray(t_pk),
+        route=jnp.asarray(t_route), invl=jnp.asarray(invl),
+        rb_of_tile=jnp.asarray(rb_t), wb_of_tile=jnp.asarray(wb_t),
+        is_first=jnp.asarray(first_t), slots=int(nt) * TILE, nnz=nnz,
+    )
+
+
+def _make_monoid_kernel(op_mul, op_add, identity, cwr):
+    def kernel(rb_ref, first_ref, wb_ref, vals_ref, pk_ref, B_ref, invl_ref,
+               x_ref, out_ref):
+        c = pl.program_id(0)
+        ident = jnp.float32(identity)
+
+        @pl.when(first_ref[c] == 1)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, ident)
+
+        pk = pk_ref[0]
+        w7 = pk & 0x7F
+        g = (pk >> 7) & 0x7F
+        valid = (pk & VALID_BIT) != 0
+
+        win = x_ref[:]
+        B = B_ref[0].astype(jnp.int32)
+        u = jnp.take_along_axis(win, B, axis=1)
+        r3 = w7 & 7
+        m4 = w7 >> 3
+        xg = jnp.zeros((8, 128), jnp.float32)
+        for mp in range(cwr // 8):
+            cand = jnp.take_along_axis(u[8 * mp : 8 * mp + 8], r3, axis=0)
+            xg = jnp.where(m4 == mp, cand, xg)
+
+        prod = op_mul(vals_ref[0], xg)
+        prod = jnp.where(valid, prod, ident)
+
+        inv = invl_ref[0].astype(jnp.int32)
+        psort = jnp.take_along_axis(prod, inv, axis=1)  # value for output-l
+        gsort = jnp.take_along_axis(g, inv, axis=1)
+        # absent-l slots route to invalid slots: prod == identity there, so
+        # the combine is a no-op regardless of their (garbage) g
+        iota = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        acc = jnp.full((128, 128), ident, jnp.float32)
+        for s in range(8):
+            delta = jnp.where(
+                jnp.broadcast_to(gsort[s][None, :], (128, 128)) == iota,
+                jnp.broadcast_to(psort[s][None, :], (128, 128)),
+                ident,
+            )
+            acc = op_add(acc, delta)
+        out_ref[0] = op_add(out_ref[0], acc)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("op_mul", "op_add", "identity"))
+def monoid_cell_spmv_apply(fmt: MonoidCellSpmv, x, op_mul, op_add, identity):
+    """r = A x over (op_mul, op_add) for ANY associative/commutative op_add
+    with the given identity; empty rows get identity."""
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    x2d = jnp.pad(x, (0, nwr * 128 - fmt.n)).reshape(nwr, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(fmt.n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cwr, 128), lambda c, rb, fi, wb: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cwr, 128), lambda c, rb, fi, wb: (wb[c], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 128, 128), lambda c, rb, fi, wb: (rb[c], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    fn = getattr(op_mul, "fn", op_mul)
+    add = getattr(op_add, "fn", op_add)
+    out = pl.pallas_call(
+        _make_monoid_kernel(fn, add, float(identity), cwr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks, 128, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_should_interpret(),
+    )(fmt.rb_of_tile, fmt.is_first, fmt.wb_of_tile,
+      fmt.vals, fmt.packed, fmt.route, fmt.invl, x2d)
+    return out.reshape(-1)[: fmt.m]
+
+
+def get_monoid_format(A: CsrMatrix, cw: int = 8192):
+    """Cached monoid-mode layout of A (or None without the native packer)."""
+    key = (id(A.values), cw, "m")
+    fmt = _FORMAT_CACHE.get(key)
+    if fmt is None and key not in _FORMAT_CACHE:
+        from ..formats import lookup_host_arrays
+
+        nnz = int(np.asarray(A.nnz))
+        host = lookup_host_arrays(A.values)
+        if host is not None:
+            rows, cols, vals = (a[:nnz] for a in host)
+        else:
+            rows = np.asarray(A.row_ids)[:nnz]
+            cols = np.asarray(A.cols)[:nnz]
+            vals = np.asarray(A.values)[:nnz]
+        m, n = A.shape
+        fmt = build_monoid_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
+        _FORMAT_CACHE[key] = fmt
+    return _FORMAT_CACHE.get(key)

@@ -138,3 +138,74 @@ def test_native_packer_padding():
     x = np.random.default_rng(1).random(n, dtype=np.float32)
     r = np.asarray(cell_spmv_apply(fmt, jnp.asarray(x)))
     np.testing.assert_allclose(r, a @ x, rtol=1e-3, atol=1e-3)
+
+
+def test_monoid_cell_spmv_minplus():
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (
+        build_monoid_cell_spmv_arrays,
+        monoid_cell_spmv_apply,
+    )
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(4)
+    n = 700
+    a = sp.random(n, n, density=0.03, random_state=4, dtype=np.float32)
+    a.data = (a.data * 5 + 0.1).astype(np.float32)
+    coo = a.tocoo()
+    fmt = build_monoid_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32), coo.data,
+        cw=1024,
+    )
+    assert fmt is not None
+    x = rng.random(n, dtype=np.float32) * 3
+    r = np.asarray(
+        monoid_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av + xv,
+            op_add=jnp.minimum,
+            identity=np.inf,
+        )
+    )
+    d = a.toarray()
+    ref = np.where(
+        (d != 0).any(axis=1),
+        np.where(d != 0, d + x[None, :], np.inf).min(axis=1),
+        np.inf,
+    )
+    np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_monoid_cell_spmv_max():
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (
+        build_monoid_cell_spmv_arrays,
+        monoid_cell_spmv_apply,
+    )
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    n = 300
+    a = sp.random(n, n, density=0.05, random_state=8, dtype=np.float32)
+    coo = a.tocoo()
+    fmt = build_monoid_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32), coo.data,
+        cw=1024,
+    )
+    x = np.random.default_rng(8).random(n, dtype=np.float32)
+    r = np.asarray(
+        monoid_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av * xv,
+            op_add=jnp.maximum,
+            identity=-np.inf,
+        )
+    )
+    d = a.toarray()
+    ref = np.where(
+        (d != 0).any(axis=1),
+        np.where(d != 0, d * x[None, :], -np.inf).max(axis=1),
+        -np.inf,
+    )
+    np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
