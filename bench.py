@@ -42,7 +42,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from spla_tpu.pallas.spmv import build_cell_spmv_arrays, cell_spmv_apply
+    from spla_tpu.pallas.spmv import (
+        build_cell_spmv_arrays,
+        build_monoid_cell_spmv_arrays,
+        cell_spmv_apply,
+        monoid_cell_spmv_apply,
+    )
 
     n = 1 << 21
     deg = 16
@@ -51,9 +56,15 @@ def main():
     x = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
 
     t0 = time.perf_counter()
-    fmt = build_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
+    fmt = build_monoid_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
+    if fmt is None:  # no native toolchain: MXU bf16x3 kernel
+        fmt = build_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
     jax.block_until_ready(fmt.vals)
     build_s = time.perf_counter() - t0
+    monoid = hasattr(fmt, "invl")
+
+    def _mult(av, xv):
+        return av * xv
 
     # Chained power iteration with a per-iteration scalar perturbation:
     # each SpMV feeds the next and every call's input is unique by
@@ -61,7 +72,11 @@ def main():
     # elision/memoization can hide device time.
     @jax.jit
     def step(fmt, y, k):
-        o = cell_spmv_apply(fmt, y)
+        if monoid:
+            o = monoid_cell_spmv_apply(fmt, y, op_mul=_mult, op_add=jnp.add,
+                                       identity=0.0)
+        else:
+            o = cell_spmv_apply(fmt, y)
         return o * ((1.0 + k * 1e-6) / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
 
     y = step(fmt, x, jnp.float32(0))

@@ -88,12 +88,16 @@ def _bfs_kernel(At: CsrMatrix, source):
     return v
 
 
-@partial(jax.jit, static_argnames=())
-def _bfs_kernel_pallas(fmt, source):
+def _structural_or(av, xv):
+    return xv  # values are {0,1}; MAX accumulation = boolean OR
+
+
+@partial(jax.jit, static_argnames=("monoid",))
+def _bfs_kernel_pallas(fmt, source, monoid=True):
     """BFS levels with the Pallas cell-SpMV as the traversal kernel: the
-    frontier is a {0,1} f32 vector, hits = A^T @ front counted on the MXU
-    (0/1 products are exact in one bf16 split)."""
-    from .pallas.spmv import cell_spmv_apply
+    frontier is a {0,1} f32 vector; hits accumulate with MAX (boolean OR)
+    on the VPU monoid scatter, or PLUS counting on the MXU fallback."""
+    from .pallas.spmv import cell_spmv_apply, monoid_cell_spmv_apply
 
     n = fmt.m
     v0 = jnp.zeros((n,), jnp.int32)
@@ -105,7 +109,13 @@ def _bfs_kernel_pallas(fmt, source):
     def body(state):
         v, front, depth, _ = state
         v = jnp.where(front > 0, depth, v)
-        hits = cell_spmv_apply(fmt, front, scatter_mode="bf16x1")
+        if monoid:
+            hits = monoid_cell_spmv_apply(
+                fmt, front, op_mul=_structural_or, op_add=jnp.maximum,
+                identity=0.0,
+            )
+        else:
+            hits = cell_spmv_apply(fmt, front, scatter_mode="bf16x1")
         front_new = jnp.where((hits > 0) & (v == 0), 1.0, 0.0)
         return (v, front_new, depth + 1, jnp.sum(front_new))
 
@@ -127,10 +137,18 @@ def bfs(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
     if At is None:
         At = A
     if _on_tpu():
-        from .pallas.spmv import get_structural_format
+        from .pallas.spmv import (
+            get_structural_format,
+            get_structural_monoid_format,
+        )
 
-        fmt = get_structural_format(At)
-        v = _bfs_kernel_pallas(fmt, jnp.asarray(source, jnp.int32))
+        fmtM = get_structural_monoid_format(At)
+        if fmtM is not None:
+            v = _bfs_kernel_pallas(fmtM, jnp.asarray(source, jnp.int32))
+        else:
+            fmt = get_structural_format(At)
+            v = _bfs_kernel_pallas(fmt, jnp.asarray(source, jnp.int32),
+                                   monoid=False)
         return DenseVec(v, jnp.int32(0))
     v = _bfs_kernel(At, jnp.asarray(source, jnp.int32))
     return DenseVec(v, jnp.int32(0))
@@ -294,9 +312,13 @@ def _pr_kernel(A: CsrMatrix, alpha, eps):
     return p
 
 
-@jax.jit
-def _pr_kernel_pallas(fmt, alpha, eps):
-    from .pallas.spmv import cell_spmv_apply
+def _mult(av, xv):
+    return av * xv
+
+
+@partial(jax.jit, static_argnames=("monoid",))
+def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
+    from .pallas.spmv import cell_spmv_apply, monoid_cell_spmv_apply
 
     n = fmt.m
     addition = (1.0 - alpha) / n
@@ -307,7 +329,13 @@ def _pr_kernel_pallas(fmt, alpha, eps):
 
     def body(state):
         p_prev, _ = state
-        p = cell_spmv_apply(fmt, p_prev) + addition
+        if monoid:
+            ap = monoid_cell_spmv_apply(
+                fmt, p_prev, op_mul=_mult, op_add=jnp.add, identity=0.0
+            )
+        else:
+            ap = cell_spmv_apply(fmt, p_prev)
+        p = ap + addition
         err = jnp.sqrt(jnp.sum((p - p_prev) ** 2))
         return (p, err)
 
@@ -318,9 +346,14 @@ def _pr_kernel_pallas(fmt, alpha, eps):
 def pr(A: CsrMatrix, alpha: float = 0.85, eps: float = 1e-6,
        descriptor: Descriptor | None = None) -> DenseVec:
     if _on_tpu() and A.values.dtype == jnp.float32:
-        from .pallas.spmv import get_cell_format
+        from .pallas.spmv import get_cell_format, get_monoid_format
 
-        p = _pr_kernel_pallas(get_cell_format(A), jnp.float32(alpha), jnp.float32(eps))
+        fmtM = get_monoid_format(A)
+        if fmtM is not None:
+            p = _pr_kernel_pallas(fmtM, jnp.float32(alpha), jnp.float32(eps))
+        else:
+            p = _pr_kernel_pallas(get_cell_format(A), jnp.float32(alpha),
+                                  jnp.float32(eps), monoid=False)
         return DenseVec(p, jnp.float32(0))
     p = _pr_kernel(A, jnp.float32(alpha), jnp.float32(eps))
     return DenseVec(p, jnp.float32(0))

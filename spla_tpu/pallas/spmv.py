@@ -557,21 +557,49 @@ def get_structural_format(A: CsrMatrix, cw: int = 16384) -> CellSpmv:
     return fmt
 
 
+_SCATTER_MONOIDS = {
+    # op_add.scatter kind -> (combine fn, identity)
+    "add": (jnp.add, 0.0),
+    "min": (jnp.minimum, float("inf")),
+    "max": (jnp.maximum, float("-inf")),
+}
+
+
 def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     """Return f(A, x) using the Pallas kernel when the semiring is
-    supported (PLUS accumulation, f32), else None."""
-    if getattr(op_add, "scatter", None) != "add":
+    supported (add/min/max monoid accumulation, f32), else None.
+
+    Prefers the any-monoid VPU-scatter kernel (exact f32, ~1.5x the MXU
+    one-hot path even for PLUS); falls back to the MXU kernel when the
+    native packer is unavailable (PLUS only)."""
+    kind = getattr(op_add, "scatter", None)
+    if kind not in _SCATTER_MONOIDS:
         return None
     if A.values.dtype != jnp.float32:
         return None
-    fmt = get_cell_format(A)
-    init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
-
-    mul = None
+    combine, identity = _SCATTER_MONOIDS[kind]
+    mul = lambda a, b: a * b  # noqa: E731
     if op_mul is not None and getattr(op_mul, "name", None) != "MULT":
         mul = getattr(op_mul, "fn", op_mul)
+    init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
 
-    def fn(_A, x, fmt=fmt, mul=mul):
+    fmtM = get_monoid_format(A)
+    if fmtM is not None:
+        def fn(_A, x, fmt=fmtM, mul=mul):
+            r = monoid_cell_spmv_apply(fmt, x, op_mul=mul, op_add=combine,
+                                       identity=identity)
+            if kind == "add":
+                return r + init_f
+            return combine(r, jnp.broadcast_to(init_f, r.shape))
+
+        return fn
+
+    if kind != "add":
+        return None  # MXU fallback accumulates PLUS only
+    fmt = get_cell_format(A)
+    mulk = None if getattr(op_mul, "name", None) == "MULT" or op_mul is None else mul
+
+    def fn(_A, x, fmt=fmt, mul=mulk):
         r = cell_spmv_apply(fmt, x, op_mul=mul)
         return r + init_f
 
@@ -723,7 +751,28 @@ def monoid_cell_spmv_apply(fmt: MonoidCellSpmv, x, op_mul, op_add, identity):
     return out.reshape(-1)[: fmt.m]
 
 
-def get_monoid_format(A: CsrMatrix, cw: int = 8192):
+def get_structural_monoid_format(A: CsrMatrix, cw: int = 16384):
+    """Monoid-mode layout of A's PATTERN (values 1.0f) for structural
+    traversal (BFS); None without the native packer."""
+    key = (id(A.values), cw, "ms")
+    if key not in _FORMAT_CACHE:
+        from ..formats import lookup_host_arrays
+
+        nnz = int(np.asarray(A.nnz))
+        host = lookup_host_arrays(A.values)
+        if host is not None:
+            rows, cols, _ = (a[:nnz] for a in host)
+        else:
+            rows = np.asarray(A.row_ids)[:nnz]
+            cols = np.asarray(A.cols)[:nnz]
+        m, n = A.shape
+        _FORMAT_CACHE[key] = build_monoid_cell_spmv_arrays(
+            m, n, rows, cols, np.ones(nnz, np.float32), cw=cw
+        )
+    return _FORMAT_CACHE.get(key)
+
+
+def get_monoid_format(A: CsrMatrix, cw: int = 16384):
     """Cached monoid-mode layout of A (or None without the native packer)."""
     key = (id(A.values), cw, "m")
     fmt = _FORMAT_CACHE.get(key)
