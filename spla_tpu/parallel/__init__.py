@@ -17,6 +17,13 @@ from .dist_ops import (
     dist_pagerank,
     dist_sssp,
 )
+from .dist_cell import (
+    ShardedCellSpmv,
+    dist_bfs_pallas,
+    dist_pagerank_pallas,
+    dist_sssp_pallas,
+    shard_cell_spmv,
+)
 from .dist_spgemm import (
     count_dist_mxm_cap,
     count_dist_mxmT_cap,
@@ -34,6 +41,11 @@ __all__ = [
     "dist_pagerank",
     "dist_bfs",
     "dist_sssp",
+    "ShardedCellSpmv",
+    "shard_cell_spmv",
+    "dist_pagerank_pallas",
+    "dist_bfs_pallas",
+    "dist_sssp_pallas",
     "dist_mxm",
     "dist_mxmT_masked_reduce",
     "dist_tc",

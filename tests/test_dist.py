@@ -155,3 +155,63 @@ def test_dist_tc_matches_naive(mesh):
     got = dist_tc(mesh, As)
     adj = [A.indices[A.indptr[i] : A.indptr[i + 1]].tolist() for i in range(n)]
     assert got == tc_naive(adj)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel under shard_map (per-shard cell formats + halo all-gather)
+# ---------------------------------------------------------------------------
+
+
+def _skip_no_native():
+    from spla_tpu.pallas.cellpack_native import _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+
+
+def test_dist_pagerank_pallas(mesh):
+    from spla_tpu.parallel import dist_pagerank_pallas, shard_cell_spmv
+
+    _skip_no_native()
+    n = 130
+    A = random_undirected(n, 5, 12).astype(np.float32)
+    outdeg = np.asarray(A.sum(axis=0)).ravel()
+    outdeg[outdeg == 0] = 1.0
+    As = A.multiply(0.85 / outdeg).tocsr().astype(np.float32)
+    sc = shard_cell_spmv(F.csr_from_scipy(As), 8, mesh, cw=1024)
+    assert sc is not None
+    p = np.asarray(dist_pagerank_pallas(mesh, sc, 0.85, 1e-5)).ravel()[:n]
+    from spla_tpu.algorithms import pr
+
+    p1 = np.asarray(pr(F.csr_from_scipy(As), 0.85, 1e-5).values)
+    np.testing.assert_allclose(p, p1, rtol=1e-4, atol=1e-8)
+
+
+def test_dist_bfs_pallas(mesh):
+    from spla_tpu.parallel import dist_bfs_pallas, shard_cell_spmv
+
+    _skip_no_native()
+    n = 150
+    A = random_undirected(n, 6, 13)
+    adj = [A.indices[A.indptr[i] : A.indptr[i + 1]].tolist() for i in range(n)]
+    sc = shard_cell_spmv(
+        F.csr_from_scipy(A.astype(np.float32)), 8, mesh, cw=1024, values=1.0
+    )
+    v = np.asarray(dist_bfs_pallas(mesh, sc, 0)).ravel()[:n]
+    np.testing.assert_array_equal(v, bfs_naive(adj, 0))
+
+
+def test_dist_sssp_pallas(mesh):
+    from spla_tpu.parallel import dist_sssp_pallas, shard_cell_spmv
+
+    _skip_no_native()
+    n = 110
+    A = random_undirected(n, 6, 14, weighted=True)
+    adj = [A.indices[A.indptr[i] : A.indptr[i + 1]].tolist() for i in range(n)]
+    w = [A.data[A.indptr[i] : A.indptr[i + 1]].tolist() for i in range(n)]
+    sc = shard_cell_spmv(F.csr_from_scipy(A), 8, mesh, cw=1024)
+    v = np.asarray(dist_sssp_pallas(mesh, sc, 0)).ravel()[:n]
+    expect = sssp_naive(adj, w, 0)
+    finite = np.isfinite(expect)
+    np.testing.assert_allclose(v[finite], expect[finite], rtol=1e-4)
+    assert np.all(np.isinf(v[~finite]))
