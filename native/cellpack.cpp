@@ -25,8 +25,8 @@ namespace {
 constexpr int64_t ROW_BLOCK = 16384;
 constexpr int64_t TILE = 1024;
 constexpr int32_t VALID_BIT = 1 << 21;
-constexpr int PROBE_LANES = 64;   // linear lane probes per tile
-constexpr int PROBE_TILES = 4;    // how many most-recent tiles to try
+constexpr int PROBE_LANES = 128;  // linear lane probes per tile
+constexpr int PROBE_TILES = 8;    // how many most-recent tiles to try
 
 struct Pack {
     int64_t n_tiles = 0;
