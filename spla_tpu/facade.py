@@ -47,9 +47,14 @@ def _zero(dtype):
 
 
 class Scalar:
-    """Typed scalar (reference ``python/pyspla/scalar.py``)."""
+    """Typed scalar (reference ``python/pyspla/scalar.py``).
+
+    Accepts both argument orders — ``Scalar(INT, 0)`` (pyspla README
+    style) and ``Scalar(0, INT)``."""
 
     def __init__(self, value=None, dtype: Type = INT):
+        if isinstance(value, Type):  # pyspla order: Scalar(dtype, value)
+            value, dtype = (dtype if not isinstance(dtype, Type) else None), value
         self._dtype = dtype
         self._value = dtype.np_dtype.type(0 if value is None else value)
 

@@ -163,3 +163,39 @@ def test_memview_roundtrip():
     v.write(0, raw[4:8] + raw[0:4] + raw[8:])
     assert a[0] == 1 and a[1] == 0
     assert np.asarray(v).dtype == np.int32
+
+
+def test_reference_readme_bfs_example():
+    """The reference README's flagship pyspla snippet, near-verbatim
+    (reference README.md:59-99)."""
+    from spla_tpu.facade import Matrix, Scalar, Vector
+    from spla_tpu.types import INT
+
+    def bfs(s: int, A: Matrix):
+        v = Vector(A.n_rows, INT)  # to store depths
+
+        front = Vector.from_lists([s], [1], A.n_rows, INT)
+        front_size = 1
+        depth = Scalar(INT, 0)
+        count = 0
+
+        while front_size > 0:
+            depth += 1
+            count += front_size
+            v.assign(front, depth, op_assign=INT.SECOND, op_select=INT.NQZERO)
+            front = front.vxm(v, A, op_mult=INT.LAND, op_add=INT.LOR,
+                              op_select=INT.EQZERO)
+            front_size = front.reduce(op_reduce=INT.PLUS).get()
+
+        return v, count, depth.get()
+
+    I = [0, 1, 2, 2, 3]
+    J = [1, 2, 0, 3, 2]
+    V = [1, 1, 1, 1, 1]
+    A = Matrix.from_lists(I, J, V, shape=(4, 4), dtype=INT)
+    v, c, d = bfs(0, A)
+    idx, vals = v.to_lists()
+    assert list(idx) == [0, 1, 2, 3]
+    assert list(vals) == [1, 2, 3, 4]
+    assert c == 4
+    assert d == 4
