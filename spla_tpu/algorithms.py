@@ -112,7 +112,7 @@ def _bfs_kernel_pallas(fmt, source, monoid=True):
         if monoid:
             hits = monoid_cell_spmv_apply(
                 fmt, front, op_mul=_structural_or, op_add=jnp.maximum,
-                identity=0.0,
+                identity=0.0, skip_inactive=True,
             )
         else:
             hits = cell_spmv_apply(fmt, front, scatter_mode="bf16x1")
@@ -232,7 +232,8 @@ def _sssp_kernel_pallas(fmt, source):
     def body(state):
         v, _ = state
         frontier = monoid_cell_spmv_apply(
-            fmt, v, op_mul=_minplus_mul, op_add=jnp.minimum, identity=float("inf")
+            fmt, v, op_mul=_minplus_mul, op_add=jnp.minimum,
+            identity=float("inf"), skip_inactive=True,
         )
         new_v = jnp.minimum(v, frontier)
         changed = jnp.sum(new_v != v).astype(jnp.int32)

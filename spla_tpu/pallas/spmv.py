@@ -665,8 +665,8 @@ def build_monoid_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 8192):
 
 
 def _make_monoid_kernel(op_mul, op_add, identity, cwr):
-    def kernel(rb_ref, first_ref, wb_ref, vals_ref, pk_ref, B_ref, invl_ref,
-               x_ref, out_ref):
+    def kernel(rb_ref, first_ref, wb_ref, act_ref, vals_ref, pk_ref, B_ref,
+               invl_ref, x_ref, out_ref):
         c = pl.program_id(0)
         ident = jnp.float32(identity)
 
@@ -674,79 +674,109 @@ def _make_monoid_kernel(op_mul, op_add, identity, cwr):
         def _():
             out_ref[:] = jnp.full_like(out_ref, ident)
 
-        pk = pk_ref[0]
-        w7 = pk & 0x7F
-        g = (pk >> 7) & 0x7F
-        valid = (pk & VALID_BIT) != 0
+        # window-activity skip: a tile whose x-window is all-identity
+        # contributes nothing (op_mul against identity inputs folds to the
+        # accumulation identity for the semirings used here) — the level
+        # loops of BFS/SSSP have mostly-identity frontiers, so whole tiles
+        # drop to their stream cost
+        @pl.when(act_ref[wb_ref[c]] == 1)
+        def _():
+            pk = pk_ref[0]
+            w7 = pk & 0x7F
+            g = (pk >> 7) & 0x7F
+            valid = (pk & VALID_BIT) != 0
 
-        win = x_ref[:]
-        B = B_ref[0].astype(jnp.int32)
-        u = jnp.take_along_axis(win, B, axis=1)
-        r3 = w7 & 7
-        m4 = w7 >> 3
-        xg = jnp.zeros((8, 128), jnp.float32)
-        for mp in range(cwr // 8):
-            cand = jnp.take_along_axis(u[8 * mp : 8 * mp + 8], r3, axis=0)
-            xg = jnp.where(m4 == mp, cand, xg)
+            win = x_ref[:]
+            B = B_ref[0].astype(jnp.int32)
+            u = jnp.take_along_axis(win, B, axis=1)
+            r3 = w7 & 7
+            m4 = w7 >> 3
+            xg = jnp.zeros((8, 128), jnp.float32)
+            for mp in range(cwr // 8):
+                cand = jnp.take_along_axis(u[8 * mp : 8 * mp + 8], r3, axis=0)
+                xg = jnp.where(m4 == mp, cand, xg)
 
-        prod = op_mul(vals_ref[0], xg)
-        prod = jnp.where(valid, prod, ident)
+            prod = op_mul(vals_ref[0], xg)
+            prod = jnp.where(valid, prod, ident)
 
-        inv = invl_ref[0].astype(jnp.int32)
-        psort = jnp.take_along_axis(prod, inv, axis=1)  # value for output-l
-        gsort = jnp.take_along_axis(g, inv, axis=1)
-        # absent-l slots route to invalid slots: prod == identity there, so
-        # the combine is a no-op regardless of their (garbage) g
-        iota = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        acc = jnp.full((128, 128), ident, jnp.float32)
-        for s in range(8):
-            delta = jnp.where(
-                jnp.broadcast_to(gsort[s][None, :], (128, 128)) == iota,
-                jnp.broadcast_to(psort[s][None, :], (128, 128)),
-                ident,
-            )
-            acc = op_add(acc, delta)
-        out_ref[0] = op_add(out_ref[0], acc)
+            inv = invl_ref[0].astype(jnp.int32)
+            psort = jnp.take_along_axis(prod, inv, axis=1)  # value at output-l
+            gsort = jnp.take_along_axis(g, inv, axis=1)
+            # absent-l slots route to invalid slots: prod == identity there,
+            # so the combine is a no-op regardless of their (garbage) g
+            iota = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            acc = jnp.full((128, 128), ident, jnp.float32)
+            for s in range(8):
+                delta = jnp.where(
+                    jnp.broadcast_to(gsort[s][None, :], (128, 128)) == iota,
+                    jnp.broadcast_to(psort[s][None, :], (128, 128)),
+                    ident,
+                )
+                acc = op_add(acc, delta)
+            out_ref[0] = op_add(out_ref[0], acc)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("op_mul", "op_add", "identity"))
-def monoid_cell_spmv_apply(fmt: MonoidCellSpmv, x, op_mul, op_add, identity):
+@partial(
+    jax.jit, static_argnames=("op_mul", "op_add", "identity", "skip_inactive")
+)
+def monoid_cell_spmv_apply(fmt: MonoidCellSpmv, x, op_mul, op_add, identity,
+                           skip_inactive=False):
     """r = A x over (op_mul, op_add) for ANY associative/commutative op_add
-    with the given identity; empty rows get identity."""
+    with the given identity; empty rows get identity.
+
+    ``skip_inactive`` precomputes per-window "any x != identity" flags and
+    predicates whole tiles on them — sound when ``op_mul(v, identity)``
+    combines as the accumulation identity (true for plus-times with 0,
+    min-plus with +inf, max-or with 0), and a large win for the sparse
+    frontiers of BFS/SSSP level loops."""
     cwr = fmt.cw // 128
     nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
-    x2d = jnp.pad(x, (0, nwr * 128 - fmt.n)).reshape(nwr, 128)
+    ident = jnp.float32(identity)
+    x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
+    nwc = nwr // cwr
+    if skip_inactive:
+        act = jnp.any(
+            x2d.reshape(nwc, cwr * 128) != ident, axis=1
+        ).astype(jnp.int32)
+    else:
+        act = jnp.ones((nwc,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(fmt.n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb: (c, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb: (c, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cwr, 128), lambda c, rb, fi, wb: (c, 0, 0),
+            pl.BlockSpec((1, cwr, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb: (c, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cwr, 128), lambda c, rb, fi, wb: (wb[c], 0),
+            pl.BlockSpec((cwr, 128), lambda c, rb, fi, wb, ac: (wb[c], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 128, 128), lambda c, rb, fi, wb: (rb[c], 0, 0),
+            (1, 128, 128), lambda c, rb, fi, wb, ac: (rb[c], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     fn = getattr(op_mul, "fn", op_mul)
     add = getattr(op_add, "fn", op_add)
+
+    def kern(rb_ref, fi_ref, wb_ref, ac_ref, *rest):
+        return _make_monoid_kernel(fn, add, float(identity), cwr)(
+            rb_ref, fi_ref, wb_ref, ac_ref, *rest
+        )
+
     out = pl.pallas_call(
-        _make_monoid_kernel(fn, add, float(identity), cwr),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks, 128, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_should_interpret(),
-    )(fmt.rb_of_tile, fmt.is_first, fmt.wb_of_tile,
+    )(fmt.rb_of_tile, fmt.is_first, fmt.wb_of_tile, act,
       fmt.vals, fmt.packed, fmt.route, fmt.invl, x2d)
     return out.reshape(-1)[: fmt.m]
 

@@ -234,7 +234,7 @@ def _dist_bfs_pallas(mesh, arrs, source, meta, axis):
             front_full = lax.all_gather(front, axis, tiled=True)
             hits = monoid_cell_spmv_apply(
                 fmt, front_full, op_mul=_structural, op_add=jnp.maximum,
-                identity=0.0,
+                identity=0.0, skip_inactive=True,
             )
             front_new = jnp.where((hits > 0) & (v == 0), 1.0, 0.0)
             count = lax.psum(jnp.sum(front_new), axis)
@@ -278,7 +278,7 @@ def _dist_sssp_pallas(mesh, arrs, source, meta, axis):
             v_full = lax.all_gather(v, axis, tiled=True)
             frontier = monoid_cell_spmv_apply(
                 fmt, v_full, op_mul=_minplus, op_add=jnp.minimum,
-                identity=float("inf"),
+                identity=float("inf"), skip_inactive=True,
             )
             new_v = jnp.minimum(v, frontier)
             changed = lax.psum(jnp.sum(new_v != v).astype(jnp.int32), axis)
