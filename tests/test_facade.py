@@ -199,3 +199,49 @@ def test_reference_readme_bfs_example():
     assert list(vals) == [1, 2, 3, 4]
     assert c == 4
     assert d == 4
+
+
+def test_vector_get_set_reduce_variants():
+    # reference tests: get_set_reduce_{default,plus,mult} + sorting_naive
+    from spla_tpu.facade import Vector
+    from spla_tpu.types import INT
+
+    # default = keep last duplicate (SECOND)
+    v = Vector.from_lists([3, 1, 3], [10, 5, 7], (6,), INT)
+    assert v.get(3) == 7 and v.get(1) == 5
+    # build unsorted indices: must come back sorted (sorting_naive)
+    idx, vals = v.to_lists()
+    assert list(idx) == sorted(idx)
+    # PLUS-reduce duplicates
+    v2 = Vector((6,), INT)
+    v2.set_reduce(INT.PLUS)
+    for i, x in ((2, 3), (2, 4), (5, 1)):
+        v2.set(i, x)
+    assert v2.get(2) == 7 and v2.get(5) == 1
+    # MULT-reduce duplicates
+    v3 = Vector((6,), INT)
+    v3.set_reduce(INT.MULT)
+    for i, x in ((0, 3), (0, 4)):
+        v3.set(i, x)
+    assert v3.get(0) == 12
+
+
+def test_matrix_get_set_reduce_variants():
+    from spla_tpu.facade import Matrix
+    from spla_tpu.types import INT
+
+    M = Matrix((4, 4), INT)
+    M.set_reduce(INT.PLUS)
+    M.set(1, 2, 5)
+    M.set(1, 2, 6)
+    assert M.get(1, 2) == 11
+
+
+def test_vector_fill_value_semantics():
+    # reference test vector/fill_value: fill participates in dense reads
+    from spla_tpu.facade import Vector
+    from spla_tpu.types import FLOAT
+
+    v = Vector.from_lists([1], [2.5], (4,), FLOAT, fill_value=-1.0)
+    assert v.get(0) == -1.0  # unset slot reads the fill value
+    assert v.get(1) == 2.5
