@@ -66,14 +66,26 @@ def count_mxmT_products(mask: CsrMatrix, B: CsrMatrix) -> int:
 
 def _expand_schedule(outer_deg, valid, products_cap):
     """Prefix-sum expansion: outer entry e contributes outer_deg[e] product
-    slots.  Returns (src[e per slot], local[rank within e], slot_valid)."""
+    slots.  Returns (src[e per slot], local[rank within e], slot_valid).
+
+    src is built by scattering run-start markers and cumsum-ing — O(cap)
+    streaming work instead of a 20-step binary search per slot (TPU
+    gathers are scalar; the searchsorted form cost ~20 full-width gather
+    passes)."""
     deg = jnp.where(valid, outer_deg, 0)
     ends = jnp.cumsum(deg)  # inclusive
     total = ends[-1] if ends.shape[0] else jnp.zeros((), deg.dtype)
     starts = ends - deg
+    # marker scatter: src[t] = (# runs starting at position <= t) - 1;
+    # zero-length runs stack markers at one slot and are skipped naturally
+    marks = (
+        jnp.zeros((products_cap,), jnp.int32)
+        .at[jnp.clip(starts, 0, products_cap)]
+        .add(1, mode="drop")
+    )
+    src = jnp.cumsum(marks) - 1
+    src_c = jnp.clip(src, 0, max(outer_deg.shape[0] - 1, 0))
     t = jnp.arange(products_cap, dtype=ends.dtype)
-    src = jnp.searchsorted(ends, t, side="right")
-    src_c = jnp.clip(src, 0, outer_deg.shape[0] - 1)
     local = t - starts[src_c]
     slot_valid = t < total
     return src_c, local.astype(jnp.int32), slot_valid

@@ -99,14 +99,21 @@ def count_dist_mxmT_cap(mask: ShardedCsr, B: ShardedCsr) -> int:
 
 
 def _expand(outer_deg, valid, cap):
-    """Prefix-sum expansion (jit): outer entry e yields outer_deg[e] slots."""
+    """Prefix-sum expansion (jit): outer entry e yields outer_deg[e] slots.
+    Marker-scatter + cumsum (bandwidth) instead of per-slot binary search
+    — see ops.spgemm._expand_schedule."""
     deg = jnp.where(valid, outer_deg, 0)
     ends = jnp.cumsum(deg)
     total = ends[-1] if ends.shape[0] else jnp.zeros((), deg.dtype)
     starts = ends - deg
-    t = jnp.arange(cap, dtype=ends.dtype)
-    src = jnp.searchsorted(ends, t, side="right")
+    marks = (
+        jnp.zeros((cap,), jnp.int32)
+        .at[jnp.clip(starts, 0, cap)]
+        .add(1, mode="drop")
+    )
+    src = jnp.cumsum(marks) - 1
     src_c = jnp.clip(src, 0, max(outer_deg.shape[0] - 1, 0))
+    t = jnp.arange(cap, dtype=ends.dtype)
     local = t - starts[src_c]
     return src_c, local.astype(jnp.int32), t < total
 
