@@ -67,6 +67,56 @@ def lookup_host_arrays(values_dev):
     return None
 
 
+def host_coo(A, nnz=None, pattern=False):
+    """Host (rows, cols, vals) of a CsrMatrix, via the registered host
+    copies when available (avoids a device->host transfer).  With
+    ``pattern=True`` values are all-ones f32."""
+    if nnz is None:
+        nnz = int(np.asarray(A.nnz))
+    cached = lookup_host_arrays(A.values)
+    if cached is not None:
+        rows, cols, vals = (np.asarray(a[:nnz]) for a in cached)
+    else:
+        rows = np.asarray(A.row_ids)[:nnz]
+        cols = np.asarray(A.cols)[:nnz]
+        vals = np.asarray(A.values)[:nnz]
+    if pattern:
+        vals = np.ones(nnz, np.float32)
+    return rows, cols, vals
+
+
+class WeakIdCache:
+    """id-keyed cache whose entries die with the key object (a plain
+    id-keyed dict would silently alias recycled ids after GC)."""
+
+    def __init__(self):
+        self._alive = weakref.WeakValueDictionary()
+        self._data = {}
+
+    def _gc(self, key):
+        if self._alive.get(key[0]) is None:
+            self._data.pop(key, None)
+
+    def get(self, obj, extra=()):
+        key = (id(obj), *extra)
+        if self._alive.get(id(obj)) is not obj:
+            self._data.pop(key, None)
+            return None
+        return self._data.get(key)
+
+    def contains(self, obj, extra=()):
+        key = (id(obj), *extra)
+        return self._alive.get(id(obj)) is obj and key in self._data
+
+    def put(self, obj, value, extra=()):
+        key = (id(obj), *extra)
+        try:
+            self._alive[id(obj)] = obj
+        except TypeError:  # pragma: no cover - non-weakref-able
+            pass
+        self._data[key] = value
+
+
 # ---------------------------------------------------------------------------
 # Host-side builders (numpy): construction path with duplicate-reduce.
 # ---------------------------------------------------------------------------

@@ -239,16 +239,9 @@ def _mk_tick():
 
 def build_cell_spmv(A: CsrMatrix, cw: int = 8192) -> CellSpmv:
     """Host-side preprocessing: CSR -> cell layout."""
-    nnz = int(np.asarray(A.nnz))
-    from ..formats import lookup_host_arrays
+    from ..formats import host_coo
 
-    host = lookup_host_arrays(A.values)
-    if host is not None:
-        rows_all, cols_all, vals_all = (a[:nnz] for a in host)
-    else:
-        rows_all = np.asarray(A.row_ids)[:nnz]
-        cols_all = np.asarray(A.cols)[:nnz]
-        vals_all = np.asarray(A.values)[:nnz]
+    rows_all, cols_all, vals_all = host_coo(A)
     m, n = A.shape
     return build_cell_spmv_arrays(m, n, rows_all, cols_all, vals_all, cw=cw)
 
@@ -257,7 +250,8 @@ def build_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 8192) -> CellSpmv:
     """Build the cell layout from host COO arrays (rows need not be sorted
     beyond what the packer buckets itself)."""
     tick = _mk_tick()
-    assert cw % 1024 == 0 and cw >= 1024
+    # w7 is a 7-bit field in the packed word: cw <= 128 * 128
+    assert cw % 1024 == 0 and 1024 <= cw <= 16384, cw
     nnz = int(rows.shape[0])
     n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
     nwc = max((n + cw - 1) // cw, 1)
@@ -522,39 +516,35 @@ def _should_interpret() -> bool:
 
 # -- integration with the generic op layer ---------------------------------
 
-_FORMAT_CACHE: dict = {}
+# weak-id cache: entries die with A.values (a plain id-keyed dict would
+# alias recycled ids after GC and pin every matrix's tiles forever)
+from ..formats import WeakIdCache, host_coo  # noqa: E402
+
+_FORMAT_CACHE = WeakIdCache()
 
 
 def get_cell_format(A: CsrMatrix, cw: int = 16384) -> CellSpmv:
-    key = (id(A.values), cw, "v")
-    fmt = _FORMAT_CACHE.get(key)
+    fmt = _FORMAT_CACHE.get(A.values, ("v", cw))
     if fmt is None:
         fmt = build_cell_spmv(A, cw=cw)
-        _FORMAT_CACHE[key] = fmt
+        _FORMAT_CACHE.put(A.values, fmt, ("v", cw))
     return fmt
 
 
 def get_structural_format(A: CsrMatrix, cw: int = 16384) -> CellSpmv:
     """Cell format of A's PATTERN (all values 1.0f) — BFS-style structural
     traversal; products are {0,1}, exact in a single bf16 split."""
-    key = (id(A.values), cw, "s")
-    fmt = _FORMAT_CACHE.get(key)
+    fmt = _FORMAT_CACHE.get(A.values, ("s", cw))
     if fmt is None:
-        from ..formats import lookup_host_arrays
-
-        nnz = int(np.asarray(A.nnz))
-        host = lookup_host_arrays(A.values)
-        if host is not None:
-            rows, cols, _ = (a[:nnz] for a in host)
-        else:
-            rows = np.asarray(A.row_ids)[:nnz]
-            cols = np.asarray(A.cols)[:nnz]
+        rows, cols, vals = host_coo(A, pattern=True)
         m, n = A.shape
-        fmt = build_cell_spmv_arrays(
-            m, n, rows, cols, np.ones(nnz, np.float32), cw=cw
-        )
-        _FORMAT_CACHE[key] = fmt
+        fmt = build_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
+        _FORMAT_CACHE.put(A.values, fmt, ("s", cw))
     return fmt
+
+
+def _default_mult(a, b):
+    return a * b
 
 
 _SCATTER_MONOIDS = {
@@ -578,7 +568,7 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     if A.values.dtype != jnp.float32:
         return None
     combine, identity = _SCATTER_MONOIDS[kind]
-    mul = lambda a, b: a * b  # noqa: E731
+    mul = _default_mult  # stable fn object: keeps the jit cache warm
     if op_mul is not None and getattr(op_mul, "name", None) != "MULT":
         mul = getattr(op_mul, "fn", op_mul)
     init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
@@ -647,7 +637,7 @@ def build_monoid_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 8192):
     without a toolchain — callers fall back to the XLA path)."""
     from .cellpack_native import native_pack
 
-    assert cw % 1024 == 0 and cw >= 1024
+    assert cw % 1024 == 0 and 1024 <= cw <= 16384, cw
     nnz = int(np.asarray(rows).shape[0])
     n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
     packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
@@ -784,40 +774,19 @@ def monoid_cell_spmv_apply(fmt: MonoidCellSpmv, x, op_mul, op_add, identity,
 def get_structural_monoid_format(A: CsrMatrix, cw: int = 16384):
     """Monoid-mode layout of A's PATTERN (values 1.0f) for structural
     traversal (BFS); None without the native packer."""
-    key = (id(A.values), cw, "ms")
-    if key not in _FORMAT_CACHE:
-        from ..formats import lookup_host_arrays
-
-        nnz = int(np.asarray(A.nnz))
-        host = lookup_host_arrays(A.values)
-        if host is not None:
-            rows, cols, _ = (a[:nnz] for a in host)
-        else:
-            rows = np.asarray(A.row_ids)[:nnz]
-            cols = np.asarray(A.cols)[:nnz]
+    if not _FORMAT_CACHE.contains(A.values, ("ms", cw)):
+        rows, cols, vals = host_coo(A, pattern=True)
         m, n = A.shape
-        _FORMAT_CACHE[key] = build_monoid_cell_spmv_arrays(
-            m, n, rows, cols, np.ones(nnz, np.float32), cw=cw
-        )
-    return _FORMAT_CACHE.get(key)
+        fmt = build_monoid_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
+        _FORMAT_CACHE.put(A.values, fmt, ("ms", cw))
+    return _FORMAT_CACHE.get(A.values, ("ms", cw))
 
 
 def get_monoid_format(A: CsrMatrix, cw: int = 16384):
     """Cached monoid-mode layout of A (or None without the native packer)."""
-    key = (id(A.values), cw, "m")
-    fmt = _FORMAT_CACHE.get(key)
-    if fmt is None and key not in _FORMAT_CACHE:
-        from ..formats import lookup_host_arrays
-
-        nnz = int(np.asarray(A.nnz))
-        host = lookup_host_arrays(A.values)
-        if host is not None:
-            rows, cols, vals = (a[:nnz] for a in host)
-        else:
-            rows = np.asarray(A.row_ids)[:nnz]
-            cols = np.asarray(A.cols)[:nnz]
-            vals = np.asarray(A.values)[:nnz]
+    if not _FORMAT_CACHE.contains(A.values, ("m", cw)):
+        rows, cols, vals = host_coo(A)
         m, n = A.shape
         fmt = build_monoid_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
-        _FORMAT_CACHE[key] = fmt
-    return _FORMAT_CACHE.get(key)
+        _FORMAT_CACHE.put(A.values, fmt, ("m", cw))
+    return _FORMAT_CACHE.get(A.values, ("m", cw))

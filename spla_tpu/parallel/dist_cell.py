@@ -77,18 +77,11 @@ def shard_cell_spmv(
     ``values`` optionally overrides A's values (e.g. all-ones pattern for
     structural BFS).  Returns None when the native packer is unavailable.
     """
-    from ..formats import lookup_host_arrays
+    from ..formats import host_coo
 
     m, n = A.shape
     mloc = (m + n_shards - 1) // n_shards
-    nnz = int(np.asarray(A.nnz))
-    host = lookup_host_arrays(A.values)
-    if host is not None:
-        rows, cols, vals = (np.asarray(a[:nnz]) for a in host)
-    else:
-        rows = np.asarray(A.row_ids)[:nnz]
-        cols = np.asarray(A.cols)[:nnz]
-        vals = np.asarray(A.values)[:nnz]
+    rows, cols, vals = host_coo(A)
     if values is not None:
         vals = np.broadcast_to(values, vals.shape).astype(np.float32)
 
@@ -107,12 +100,13 @@ def shard_cell_spmv(
 
     T = max(f.n_tiles for f in fmts)
 
-    def padded(get, fill, dtype):
+    def padded(get, fill, dtype, pad_last=False):
         out = []
         for f in fmts:
             a = np.asarray(get(f))
             if a.shape[0] < T:
-                pad = np.full((T - a.shape[0],) + a.shape[1:], fill, dtype)
+                fv = a[-1] if pad_last else fill
+                pad = np.full((T - a.shape[0],) + a.shape[1:], fv, dtype)
                 a = np.concatenate([a, pad])
             out.append(a)
         return jnp.asarray(np.stack(out))
@@ -125,8 +119,12 @@ def shard_cell_spmv(
         packed=padded(lambda f: f.packed, 0, np.int32),  # valid bits clear
         route=padded(lambda f: f.route, 0, np.int8),
         invl=padded(lambda f: f.invl, 0, np.int8),
-        rb_of_tile=padded(lambda f: f.rb_of_tile, 0, np.int32),
-        wb_of_tile=padded(lambda f: f.wb_of_tile, 0, np.int32),
+        # pad tiles must repeat the LAST tile's (rb, wb): the Pallas output
+        # pipeline requires each output block be visited by CONSECUTIVE grid
+        # steps only — rb=0 pads after later row blocks would overwrite row
+        # block 0 with a stale accumulator on real hardware
+        rb_of_tile=padded(lambda f: f.rb_of_tile, 0, np.int32, pad_last=True),
+        wb_of_tile=padded(lambda f: f.wb_of_tile, 0, np.int32, pad_last=True),
         is_first=padded(lambda f: f.is_first, 0, np.int32),
     )
     if mesh is not None:

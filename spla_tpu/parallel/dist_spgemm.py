@@ -62,40 +62,31 @@ def _np_shard_arrays(sc: ShardedCsr):
     )
 
 
-def count_dist_mxm_cap(A: ShardedCsr, B: ShardedCsr) -> int:
+def _expansion_cap(left: ShardedCsr, B: ShardedCsr) -> int:
     """Symbolic phase: max products any (chip, rotation step) pair expands
-    — exact, from degree arrays (host numpy)."""
-    a_indptr, a_cols, a_nnz = _np_shard_arrays(A)
+    — one slot per (left entry, element of the B row its column names);
+    exact, from degree arrays (host numpy)."""
+    l_indptr, l_cols, l_nnz = _np_shard_arrays(left)
     b_indptr, _, _ = _np_shard_arrays(B)
-    P_ = A.n_shards
+    P_ = left.n_shards
     deg_b = np.diff(b_indptr, axis=1)  # [S, mloc_b]
     cap = 1
     for p in range(P_):
-        cols = a_cols[p, : a_nnz[p]]
+        cols = l_cols[p, : l_nnz[p]]
         owner = np.clip(cols // B.mloc, 0, P_ - 1)
         local = cols - owner * B.mloc
         d = deg_b[owner, local]
         counts = np.bincount(owner, weights=d, minlength=P_)
         cap = max(cap, int(counts.max()))
     return cap
+
+
+def count_dist_mxm_cap(A: ShardedCsr, B: ShardedCsr) -> int:
+    return _expansion_cap(A, B)
 
 
 def count_dist_mxmT_cap(mask: ShardedCsr, B: ShardedCsr) -> int:
-    """Symbolic phase for masked mxmT: per (chip, step) expansion bound —
-    one product slot per (mask entry, element of B row mask.col)."""
-    m_indptr, m_cols, m_nnz = _np_shard_arrays(mask)
-    b_indptr, _, _ = _np_shard_arrays(B)
-    P_ = mask.n_shards
-    deg_b = np.diff(b_indptr, axis=1)
-    cap = 1
-    for p in range(P_):
-        cols = m_cols[p, : m_nnz[p]]
-        owner = np.clip(cols // B.mloc, 0, P_ - 1)
-        local = cols - owner * B.mloc
-        d = deg_b[owner, local]
-        counts = np.bincount(owner, weights=d, minlength=P_)
-        cap = max(cap, int(counts.max()))
-    return cap
+    return _expansion_cap(mask, B)
 
 
 def _expand(outer_deg, valid, cap):
@@ -185,7 +176,9 @@ def _dist_mxm_impl(mesh, a_arrs, b_arrs, init, cap, out_cap, op_mul, op_add, met
         r_rows = jnp.where(got, rows_k[posc], mloc_a).astype(jnp.int32)
         r_cols = jnp.where(got, cols_k[posc], 0).astype(jnp.int32)
         r_vals = jnp.where(got, folded[posc], init)
-        r_nnz = jnp.sum(keep).astype(jnp.int32)
+        # clamp: with a too-small out_capacity the compaction truncates;
+        # nnz must never exceed the stored entry count
+        r_nnz = jnp.minimum(jnp.sum(keep), out_cap).astype(jnp.int32)
         indptr = jnp.searchsorted(
             r_rows, jnp.arange(mloc_a + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)

@@ -215,3 +215,51 @@ def test_dist_sssp_pallas(mesh):
     finite = np.isfinite(expect)
     np.testing.assert_allclose(v[finite], expect[finite], rtol=1e-4)
     assert np.all(np.isinf(v[~finite]))
+
+
+def test_shard_cell_padding_preserves_rb_contiguity(mesh):
+    # padding tiles must repeat the LAST tile's rb/wb: an rb=0 pad after
+    # later row blocks would corrupt output on real hardware (the Pallas
+    # output pipeline requires consecutive visits per output block)
+    from spla_tpu.parallel import shard_cell_spmv
+
+    _skip_no_native()
+    # skew nnz so shard tile counts differ
+    n = 160
+    rows = np.concatenate([np.zeros(500, np.int64), [150]])
+    cols = np.concatenate([np.arange(500) % n, [3]]).astype(np.int64)
+    vals = np.ones(rows.size, np.float32)
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    A.sum_duplicates()
+    sc = shard_cell_spmv(F.csr_from_scipy(A), 8, mesh, cw=1024)
+    rb = np.asarray(sc.rb_of_tile)
+    for s in range(8):
+        # rb sequence must be non-decreasing per shard (contiguous blocks)
+        assert np.all(np.diff(rb[s]) >= 0), rb[s]
+
+
+def test_format_cache_no_id_aliasing():
+    # dropping a matrix and building another must never serve the old
+    # packed format (id-keyed caches alias recycled ids after GC)
+    import gc
+
+    import jax.numpy as jnp
+
+    from spla_tpu.pallas.spmv import _FORMAT_CACHE, get_cell_format
+
+    a1 = sp.random(100, 100, density=0.05, random_state=1, dtype=np.float32)
+    A1 = F.csr_from_scipy(a1)
+    f1 = get_cell_format(A1, cw=1024)
+    vid = id(A1.values)
+    del A1
+    gc.collect()
+    # a dead key must not resolve, whatever object now owns that id
+    class Dummy:
+        pass
+
+    probe = Dummy()
+    assert _FORMAT_CACHE.get(probe, ("v", 1024)) is None
+    a2 = sp.random(60, 60, density=0.05, random_state=2, dtype=np.float32)
+    A2 = F.csr_from_scipy(a2)
+    f2 = get_cell_format(A2, cw=1024)
+    assert f2.m == 60  # freshly built for A2, never f1
