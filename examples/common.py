@@ -102,9 +102,12 @@ def verify_exact(name: str, got, ref) -> bool:
     ok = got.shape == ref.shape and bool(np.array_equal(got, ref))
     print(f"verify {name}: {'OK' if ok else 'FAILED'}")
     if not ok:
-        bad = np.nonzero(got != ref)[0][:10]
-        for i in bad:
-            print(f"  [{i}] got={got[i]} ref={ref[i]}", file=sys.stderr)
+        if got.shape != ref.shape:
+            print(f"  shape {got.shape} != {ref.shape}", file=sys.stderr)
+        else:
+            bad = np.nonzero(got != ref)[0][:10]
+            for i in bad:
+                print(f"  [{i}] got={got[i]} ref={ref[i]}", file=sys.stderr)
     return ok
 
 
@@ -116,8 +119,11 @@ def verify_close(name: str, got, ref, atol=1e-5, rtol=1e-4) -> bool:
     )
     print(f"verify {name}: {'OK' if ok else 'FAILED'}")
     if not ok:
-        err = np.abs(got - ref)
-        print(f"  max abs err {np.nanmax(err):.3e}", file=sys.stderr)
+        if got.shape != ref.shape:
+            print(f"  shape {got.shape} != {ref.shape}", file=sys.stderr)
+        else:
+            err = np.abs(got - ref)
+            print(f"  max abs err {np.nanmax(err):.3e}", file=sys.stderr)
     return ok
 
 

@@ -38,9 +38,9 @@ def run(argv=None) -> int:
     loader = MtxLoader(verbose=True)
     loader.load(
         args.inp,
-        # reference convert exposes offset separately; the loader's 1-based
-        # inputs still need the offset unless the file is already 0-based.
-        offset_indexes=not args.offset_indices,
+        # pass-through like the reference convert tool: --offset-indices
+        # true applies the 1-based -> 0-based offset
+        offset_indexes=args.offset_indices,
         make_undirected=args.make_undirected,
         remove_loops=args.remove_loops,
     )

@@ -3,6 +3,12 @@
 Matrix prepared exactly like the reference example: A[i,j] = alpha /
 out_degree(i) for each edge (i, j) (``examples/pr.cpp:81-87``), then
 ``p = A p + (1 - alpha)/N`` until the L2 delta drops below eps.
+
+NOTE: the reference scales by the ROW's own out-degree; classic textbook
+PageRank scales by the source COLUMN's out-degree (A[i,j] =
+alpha/outdeg(j), as ``bench.py``/``__graft_entry__`` do).  This example
+keeps reference parity — its naive oracle uses the same convention, so
+the verification checks the same quantity the reference computes.
 """
 
 from __future__ import annotations

@@ -292,24 +292,27 @@ def sssp_naive(adj: list, w: list, source: int) -> np.ndarray:
 @jax.jit
 def _pr_kernel(A: CsrMatrix, alpha, eps):
     """p = A·p_prev + (1-alpha)/N until ||p - p_prev||_2 < eps (reference
-    ``src/algorithm.cpp:278-335``; A is expected pre-scaled like the
-    reference examples: A[i,j] = alpha / outdeg(j))."""
+    ``src/algorithm.cpp:278-335``).  A is expected pre-scaled by the
+    caller; note the REFERENCE example scales by the row's own out-degree
+    (A[i,j] = alpha/outdeg(i), ``examples/pr.cpp:87``) whereas classic
+    PageRank uses the source column's (alpha/outdeg(j)) — this kernel is
+    convention-agnostic, pick the scaling when building A."""
     n = A.shape[0]
     addition = (1.0 - alpha) / n
     p0 = jnp.full((n,), 1.0 / n, jnp.float32)
 
     def cond(state):
-        _, err = state
-        return err > eps
+        # iteration cap: f32 error can plateau above a tiny eps forever
+        return (state[1] > eps) & (state[2] < 10_000)
 
     def body(state):
-        p_prev, _ = state
+        p_prev, _, it = state
         ap, _ = masked_spmv(A, p_prev, OP.MULT_FLOAT, OP.PLUS_FLOAT, jnp.float32(0))
         p = ap + addition
         err = jnp.sqrt(jnp.sum((p - p_prev) ** 2))
-        return (p, err)
+        return (p, err, it + 1)
 
-    p, err = lax.while_loop(cond, body, (p0, jnp.float32(eps) + 0.1))
+    p, err, _ = lax.while_loop(cond, body, (p0, jnp.float32(eps) + 0.1, jnp.int32(0)))
     return p
 
 
@@ -326,10 +329,10 @@ def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
     p0 = jnp.full((n,), 1.0 / n, jnp.float32)
 
     def cond(state):
-        return state[1] > eps
+        return (state[1] > eps) & (state[2] < 10_000)
 
     def body(state):
-        p_prev, _ = state
+        p_prev, _, it = state
         if monoid:
             ap = monoid_cell_spmv_apply(
                 fmt, p_prev, op_mul=_mult, op_add=jnp.add, identity=0.0
@@ -338,9 +341,9 @@ def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
             ap = cell_spmv_apply(fmt, p_prev)
         p = ap + addition
         err = jnp.sqrt(jnp.sum((p - p_prev) ** 2))
-        return (p, err)
+        return (p, err, it + 1)
 
-    p, _ = lax.while_loop(cond, body, (p0, jnp.float32(eps) + 0.1))
+    p, _, _ = lax.while_loop(cond, body, (p0, jnp.float32(eps) + 0.1, jnp.int32(0)))
     return p
 
 

@@ -314,7 +314,9 @@ class Vector:
         self._val = (
             rng.uniform(0, 1, self._n).astype(self._dtype.np_dtype)
             if self._dtype.is_float()
-            else rng.integers(0, 100, self._n).astype(self._dtype.np_dtype)
+            # full non-negative range: callers hash these as seeds
+            # (examples/pi.py) — a narrow range caps sample diversity
+            else rng.integers(0, 2**31 - 1, self._n).astype(self._dtype.np_dtype)
         )
         self._dense_cache = None
 
@@ -643,6 +645,11 @@ class Matrix:
         op_mult = _op_or_default(op_mult, OP.lookup("MULT", self._dtype))
         if exponent == 0:
             return Matrix.diag((1, 1), self._dtype, 1)
+        if exponent == 1:
+            # fresh object: returning self would alias mutations
+            i, j, v = self.to_lists()
+            return Matrix.from_lists(list(i), list(j), list(v),
+                                     self.shape, self._dtype)
         r = self
         for _ in range(exponent - 1):
             r = r.kron(self, op_mult)

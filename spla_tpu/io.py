@@ -211,12 +211,24 @@ class MtxLoader:
 
     # conversion helpers
     def to_scipy(self):
+        """CSR with the library's duplicate semantics (keep LAST — like the
+        reference examples' set() loop), NOT scipy's default sum: a general
+        file that stores both (i,j) and (j,i) plus make_undirected would
+        otherwise silently double every such weight."""
         import scipy.sparse as sp
 
+        key = self.rows.astype(np.int64) * self.n_cols + self.cols
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        last = np.empty(ks.size, bool)
+        if ks.size:
+            last[:-1] = ks[1:] != ks[:-1]
+            last[-1] = True
+        keep = order[last]
         a = sp.coo_matrix(
-            (self.vals, (self.rows, self.cols)), shape=(self.n_rows, self.n_cols)
+            (self.vals[keep], (self.rows[keep], self.cols[keep])),
+            shape=(self.n_rows, self.n_cols),
         )
-        a.sum_duplicates()
         return a.tocsr()
 
     def to_csr(self, dtype=np.float32, fill=0):

@@ -192,7 +192,9 @@ def m_extract_row(M: CsrMatrix, index, op_apply, out_capacity: int | None = None
     idx = jnp.where(ok, M.cols[pos], n).astype(jnp.int32)
     vals = jnp.where(ok, op_apply(M.values[pos]), M.fill)
     return SparseVec(
-        n=n, indices=idx, values=vals, nnz=(hi - lo).astype(jnp.int32), fill=M.fill
+        n=n, indices=idx, values=vals,
+        nnz=jnp.minimum(hi - lo, cap).astype(jnp.int32),  # clamp to capacity
+        fill=M.fill,
     )
 
 
@@ -218,7 +220,7 @@ def m_extract_column(M: CsrMatrix, index, op_apply, out_capacity: int | None = N
         n=m,
         indices=ridx.astype(jnp.int32),
         values=vals,
-        nnz=jnp.sum(found).astype(jnp.int32),
+        nnz=jnp.minimum(jnp.sum(found), cap).astype(jnp.int32),
         fill=M.fill,
     )
 

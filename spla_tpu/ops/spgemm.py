@@ -236,8 +236,13 @@ def _mxmT_numeric(
     # scatter path of segment_fold applies for hardware monoids
     # (add/min/max/mul); others take the segmented-scan path
     mcap = mask.capacity
-    seg = jnp.where(valid, src, mcap).astype(jnp.int32)
-    folded, has = segment_fold(prod, seg, valid, mcap, op_add, init_a)
+    # keep seg_ids = src UNCHANGED (sorted): routing invalid slots to a
+    # dump id here would interleave mcap between sorted ids and break the
+    # generic scan path's searchsorted; segment_fold's valid flags already
+    # exclude them on every path
+    folded, has = segment_fold(
+        prod, src.astype(jnp.int32), valid, mcap, op_add, init_a
+    )
     sel_e = op_select(mask.values) & mask.valid_mask()
     keep = has & sel_e & (folded != init_a)
 

@@ -36,14 +36,22 @@ def sort_by_key(keys, *values):
     return out
 
 
-@partial(jax.jit, static_argnames=("op", "num_segments"))
-def reduce_by_key(keys, values, op, num_segments):
+@partial(jax.jit, static_argnames=("op", "num_segments", "init"))
+def reduce_by_key(keys, values, op, num_segments, init=None):
     """Combine adjacent equal-key runs (keys sorted).  Returns dense
     ``(out[num_segments], has[num_segments])`` — out[k] = fold over key k.
+
+    ``init`` defaults to the op's monoid identity; an op without one must
+    be given an explicit init (a silent 0 would corrupt e.g. MIN folds).
     """
     valid = jnp.ones(keys.shape, jnp.bool_)
-    ident = getattr(op, "identity", None)
-    init = jnp.asarray(0 if ident is None else ident, values.dtype)
+    if init is None:
+        init = getattr(op, "identity", None)
+        if init is None:
+            raise ValueError(
+                f"op {getattr(op, 'name', op)} has no identity; pass init="
+            )
+    init = jnp.asarray(init, values.dtype)
     return segment_fold(values, keys, valid, num_segments, op, init)
 
 

@@ -47,8 +47,10 @@ def test_load_remove_loops(mtx_file):
 def test_load_undirected(mtx_file):
     l = load_mtx(mtx_file, make_undirected=True, remove_loops=True)
     a = l.to_scipy().toarray()
-    # mirrored edges merge with existing ones on duplicate-sum
-    assert a[0, 1] == 3.5 and a[1, 0] == 3.5 and a[3, 0] == -1.0
+    # duplicates resolve keep-LAST (like the reference examples' set()
+    # loop): the mirrored (1,0)->(0,1)=2.0 overrides the original 1.5,
+    # never a silent sum that would double undirected weights
+    assert a[0, 1] == 2.0 and a[1, 0] == 1.5 and a[3, 0] == -1.0
 
 
 def test_pattern_symmetric(tmp_path):

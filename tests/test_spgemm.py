@@ -75,3 +75,31 @@ def test_triangle_counting_semantics():
     total = int(m_reduce(0, B, op.PLUS_INT).value)
     # undirected full-adjacency count = 6 * n_triangles
     assert total == 6
+
+
+def test_mxmT_masked_nonscatter_monoid():
+    # regression: BOR (generic scan path) must not be fed dump-routed
+    # unsorted segment ids
+    import scipy.sparse as sp
+
+    from spla_tpu import formats as F, op
+    from spla_tpu.formats import csr_to_dense
+    from spla_tpu.ops.spgemm import mxmT_masked
+
+    a = sp.random(30, 30, density=0.15, random_state=3, dtype=np.float32)
+    a.data[:] = np.random.default_rng(3).integers(1, 8, a.nnz)
+    A = F.csr_from_scipy(a.astype(np.int32), dtype=np.int32)
+    R = mxmT_masked(A, A, A, op.MULT_INT, op.BOR_INT, op.GTZERO_INT, 0)
+    got = np.asarray(csr_to_dense(R))
+    d = a.toarray().astype(np.int64)
+    mask = d > 0
+    ref = np.zeros_like(d)
+    for i in range(30):
+        for j in range(30):
+            if mask[i, j]:
+                acc = 0
+                for k in range(30):
+                    if d[i, k] and d[j, k]:
+                        acc |= int(d[i, k] * d[j, k])
+                ref[i, j] = acc
+    np.testing.assert_array_equal(got, ref)
