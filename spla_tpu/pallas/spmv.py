@@ -27,17 +27,23 @@ Cell layout (host-preprocessed once per matrix, device-cached):
 
 Gather:   u = take_along_axis(win, B, axis=1);  x_e = u[w_e, lane_e]
           (the latter via an 8-deep sublane gather per group of 8 rows).
-Scatter:  acc[g, l] += prod via one-hot dot_generals per sublane row —
-          ``A[a,k] = (g_k==a)``, ``PB[a,k] = (l_k==a) * p_k`` — i.e. the
-          scatter the TensorCore cannot do becomes MXU work.  Two
-          precision modes: exact f32 (HIGHEST) and **exact bf16 3-split**
-          (p = hi+mid+lo in bf16 covers all 24 f32 mantissa bits; one-hot
-          factors are exact in bf16), which runs ~3-6x faster on the MXU.
 
-Supported semirings: any elementwise ``op_mul`` with ``op_add = PLUS``
-(f32 accumulation).  BFS's BOR over {0,1} reduces to PLUS + ``> 0``;
-triangle counts are exact in f32 below 2^24.  Other monoids (MIN/MAX)
-fall back to the XLA path.
+Two scatter engines:
+
+* **VPU monoid scatter** (default, `MonoidCellSpmv`): the packer's monoid
+  mode keeps output lanes distinct within each sublane row and emits an
+  inverse-lane table, so the scatter is one lane shuffle + an 8-step
+  compare-select sweep — exact f32 for ANY associative ``op_add``
+  (PLUS / MIN / MAX / OR ...), measured ~1.5x the MXU path even for PLUS.
+* **MXU one-hot** (`CellSpmv`, PLUS only, denser packing): one-hot
+  dot_generals per sublane row — ``A[a,k] = (g_k==a)``, ``PB[a,k] =
+  (l_k==a) * p_k`` — with an exact bf16 3-split (hi+mid+lo covers all 24
+  f32 mantissa bits) ~3x faster than f32-HIGHEST.  Fallback when the
+  native packer is unavailable.
+
+``op_mul`` is any jax-traceable elementwise function.  Sparse frontiers
+(BFS/SSSP level loops) use window-activity skipping: whole tiles whose
+x-window is all-identity drop to their stream cost.
 """
 
 from __future__ import annotations
