@@ -395,7 +395,7 @@ def tc(A: CsrMatrix, products_cap: int | None = None) -> int:
 
     B = mxmT_masked(
         A, A, A, OP.MULT_INT, OP.PLUS_INT, OP.GTZERO_INT, 0,
-        products_cap=products_cap,
+        products_cap=products_cap, struct_only=True,
     )
     return int(np.asarray(m_reduce(0, B, OP.PLUS_INT).value))
 

@@ -184,11 +184,17 @@ def mxmT_masked(
     init,
     products_cap: int | None = None,
     out_capacity: int | None = None,
+    struct_only: bool = False,
 ) -> CsrMatrix:
     """R = (A * B^T) masked by `mask` (reference exec_mxmT_masked,
     ``include/spla/exec.hpp:104-131``): for each mask entry (i, j) with
     select(mask_x): R[i,j] = fold(add, init, mul(A[i,k], B[j,k]) over the
-    column intersection); entries equal to init are dropped."""
+    column intersection); entries equal to init are dropped.
+
+    ``struct_only`` (descriptor parity) treats all stored values as 1 and
+    every mask entry as selected — products become intersection
+    indicators, skipping three full-width value gathers (the dominant
+    cost: TPU gathers are scalar).  Exact for triangle counting."""
     init_a = _scalar(init, A.values.dtype)
     if products_cap is None:
         products_cap = max(count_mxmT_products(mask, B), 1)
@@ -199,18 +205,20 @@ def mxmT_masked(
     return _mxmT_numeric(
         mask, A, B, init_a, op_mul, op_add, op_select, int(products_cap),
         int(out_capacity) if out_capacity is not None else None, steps,
+        struct_only,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "op_mul", "op_add", "op_select", "products_cap", "out_capacity", "steps"
+        "op_mul", "op_add", "op_select", "products_cap", "out_capacity",
+        "steps", "struct_only",
     ),
 )
 def _mxmT_numeric(
     mask, A, B, init_a, op_mul, op_add, op_select, products_cap, out_capacity,
-    steps=32,
+    steps=32, struct_only=False,
 ):
     m, n = mask.shape
     deg_b = jnp.diff(B.indptr)
@@ -219,18 +227,22 @@ def _mxmT_numeric(
         deg_b[mask_cols], mask.valid_mask(), products_cap
     )
     i = mask.row_ids[src]  # output row
-    sel = op_select(mask.values[src])
     b_pos = jnp.clip(B.indptr[mask_cols[src]] + local, 0, max(B.capacity - 1, 0))
     kk = B.cols[b_pos]
-    b_val = B.values[b_pos]
     # lookup A[i, kk]
     i_c = jnp.clip(i, 0, max(m - 1, 0))
     a_pos, found = rowwise_find(
         A.cols, A.indptr[i_c], A.indptr[i_c + 1], kk, steps=steps
     )
-    a_val = A.values[jnp.clip(a_pos, 0, max(A.capacity - 1, 0))]
-    prod = op_mul(a_val, b_val)
-    valid = slot_valid & sel & found
+    if struct_only:
+        prod = jnp.ones(found.shape, init_a.dtype)
+        valid = slot_valid & found
+    else:
+        sel = op_select(mask.values[src])
+        b_val = B.values[b_pos]
+        a_val = A.values[jnp.clip(a_pos, 0, max(A.capacity - 1, 0))]
+        prod = op_mul(a_val, b_val)
+        valid = slot_valid & sel & found
 
     # fold per SOURCE MASK ENTRY (src is sorted by construction): the
     # scatter path of segment_fold applies for hardware monoids
@@ -243,7 +255,10 @@ def _mxmT_numeric(
     folded, has = segment_fold(
         prod, src.astype(jnp.int32), valid, mcap, op_add, init_a
     )
-    sel_e = op_select(mask.values) & mask.valid_mask()
+    if struct_only:
+        sel_e = mask.valid_mask()
+    else:
+        sel_e = op_select(mask.values) & mask.valid_mask()
     keep = has & sel_e & (folded != init_a)
 
     out_cap = out_capacity if out_capacity is not None else mcap
