@@ -580,6 +580,15 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
 
     fmtM = get_monoid_format(A)
+    # skewed graphs (heavy rows) pad badly under the l-distinct monoid
+    # packing; for PLUS the denser MXU layout wins past ~2x the PLUS pad
+    if (
+        fmtM is not None and kind == "add"
+        and fmtM.nnz > 0 and fmtM.slots > 3 * fmtM.nnz
+    ):
+        fmtP = get_cell_format(A)
+        if fmtP.slots * 2 < fmtM.slots:
+            fmtM = None
     if fmtM is not None:
         def fn(_A, x, fmt=fmtM, mul=mul):
             r = monoid_cell_spmv_apply(fmt, x, op_mul=mul, op_add=combine,
