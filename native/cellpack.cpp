@@ -14,6 +14,7 @@
 // C ABI, handle-based like mtxio.cpp; outputs are written into buffers
 // exposed to Python via pointers (numpy views, no extra copy).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -158,6 +159,16 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         return true;
     };
 
+    // mode 1: within each cell, deal entries round-robin across output-l
+    // classes (order by rank-within-l).  Same-l entries can share a tile
+    // only via distinct sublane rows (8 max), so a row-major entry order
+    // exhausts the probe ring on heavy rows/classes and opens near-empty
+    // tiles; rank-major order fills every tile's rows evenly and reaches
+    // the ceil(max_l_count/8) packing floor.
+    std::vector<int32_t> l_rank;
+    std::vector<std::pair<int32_t, int64_t>> deal;
+    int32_t l_counter[128];
+
     int32_t last_rb_emitted = -1;
     for (int64_t rbi = 0; rbi < n_rb; ++rbi) {
         bool rb_has_tile = false;
@@ -165,6 +176,22 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
             const int64_t cell = rbi * nwc + w;
             const int64_t lo = cell_count[cell], hi = cell_count[cell + 1];
             if (lo == hi) continue;
+            if (mode == 1 && hi - lo > 1) {
+                std::memset(l_counter, 0, sizeof(l_counter));
+                deal.clear();
+                deal.reserve(hi - lo);
+                for (int64_t q = lo; q < hi; ++q) {
+                    const int64_t e = order[q];
+                    const int l = rows[e] & 127;
+                    deal.emplace_back(l_counter[l]++, e);
+                }
+                std::stable_sort(deal.begin(), deal.end(),
+                                 [](const auto& a, const auto& b) {
+                                     return a.first < b.first;
+                                 });
+                for (int64_t q = lo; q < hi; ++q)
+                    order[q] = deal[q - lo].second;
+            }
             int n_open = 0;          // open tiles for this cell (ring)
             int newest = -1;
             for (int64_t q = lo; q < hi; ++q) {

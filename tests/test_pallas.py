@@ -209,3 +209,20 @@ def test_monoid_cell_spmv_max():
         -np.inf,
     )
     np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_monoid_packing_dense_cells():
+    # rank-within-l dealing order: dense cells must pack near the
+    # ceil(max_l/8) floor, not explode the probe ring (was 102x)
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_monoid_cell_spmv_arrays
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    d = np.ones((300, 300), np.float32)
+    coo = sp.coo_matrix(d)
+    fmt = build_monoid_cell_spmv_arrays(
+        300, 300, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        coo.data, cw=1024,
+    )
+    assert fmt.slots / fmt.nnz < 1.6
