@@ -389,13 +389,21 @@ def tc(A: CsrMatrix, products_cap: int | None = None) -> int:
     """B = (A·A^T) ⊙ A via mxmT_masked(MULT, PLUS, GTZERO), then
     m_reduce(PLUS) (reference ``src/algorithm.cpp:380-414``).  For the
     full symmetric adjacency this counts each triangle 6 times, matching
-    the reference convention."""
+    the reference convention.
+
+    The struct_only fast path (values treated as 1, GTZERO select skipped)
+    is only taken when A is verifiably a 0/1 pattern — otherwise explicit
+    zeros / non-unit entries must go through the value path to match the
+    reference semantics."""
     from .ops.spgemm import mxmT_masked
     from .ops.matrix import m_reduce
 
+    is_pattern = bool(
+        np.asarray(jnp.all(jnp.where(A.valid_mask(), A.values, 1) == 1))
+    )
     B = mxmT_masked(
         A, A, A, OP.MULT_INT, OP.PLUS_INT, OP.GTZERO_INT, 0,
-        products_cap=products_cap, struct_only=True,
+        products_cap=products_cap, struct_only=is_pattern,
     )
     return int(np.asarray(m_reduce(0, B, OP.PLUS_INT).value))
 

@@ -142,6 +142,12 @@ class MemView:
 
     def __init__(self, array):
         self._np = np.asarray(array)
+        if not self._np.flags.c_contiguous:
+            # reshape(-1) on a non-contiguous array copies, so write()
+            # would silently modify the copy instead of the caller's array
+            raise ValueError(
+                "MemView requires a C-contiguous array (use np.ascontiguousarray)"
+            )
 
     @staticmethod
     def make(array) -> "MemView":
@@ -245,11 +251,12 @@ class Vector:
         n = shape[0] if isinstance(shape, (tuple, list)) else int(shape)
         self._n = int(n)
         self._dtype = dtype
-        self._fill = _zero(dtype.np_dtype)
+        self._fill_np = _zero(dtype.np_dtype)
         self._idx = np.zeros(0, np.int64)
         self._val = np.zeros(0, dtype.np_dtype)
         self._reduce_fn = None
         self._dense_cache = None
+        self._host_stale = False  # True = device snapshot is canonical
         self.label = label
 
     # -- properties ------------------------------------------------------
@@ -266,11 +273,26 @@ class Vector:
         return (self._n, 1)
 
     @property
+    def _fill(self):
+        # after an op result adoption only the device snapshot is live;
+        # pull the 4-byte fill scalar lazily instead of the whole vector
+        if self._fill_np is None:
+            self._fill_np = np.asarray(self._dense_cache.fill)[()].astype(
+                self._dtype.np_dtype
+            )
+        return self._fill_np
+
+    @_fill.setter
+    def _fill(self, value):
+        self._fill_np = value
+
+    @property
     def fill_value(self):
         return Scalar(self._fill, self._dtype)
 
     def set_fill_value(self, value):
-        self._fill = self._dtype.np_dtype.type(_sval(value))
+        self._sync_host()
+        self._fill_np = self._dtype.np_dtype.type(_sval(value))
         self._dense_cache = None
 
     def set_format(self, fmt):  # storage hint — formats are implicit here
@@ -281,20 +303,25 @@ class Vector:
 
     # -- mutation (host staging) ------------------------------------------
     def set(self, i, v):
+        self._sync_host()  # appends need the current contents
         self._idx = np.append(self._idx, i)
         self._val = np.append(self._val, self._dtype.np_dtype.type(v))
         self._dense_cache = None
 
     def get(self, i):
-        d = np.asarray(self._device().values)
-        return d[i].item()
+        # single-element device read (not a full-vector D2H)
+        return np.asarray(self._device().values[i])[()].item()
 
     def build(self, view_I, view_V):
         self._idx = np.asarray(view_I, np.int64).copy()
         self._val = np.asarray(view_V, self._dtype.np_dtype).copy()
         self._dense_cache = None
+        self._host_stale = False
 
     def read(self):
+        if self._host_stale:
+            self._sync_host()  # the full pull doubles as the lazy sync
+            return self._idx.copy(), self._val.copy()
         d = np.asarray(self._device().values)
         idx = np.nonzero(d != self._fill)[0]
         return idx, d[idx]
@@ -303,10 +330,11 @@ class Vector:
         self._idx = np.zeros(0, np.int64)
         self._val = np.zeros(0, self._dtype.np_dtype)
         self._dense_cache = None
+        self._host_stale = False
 
     def fill_with(self, value):
         self.clear()
-        self.set_fill_value(value)
+        self._fill_np = self._dtype.np_dtype.type(_sval(value))
 
     def fill_noize(self, seed=None):
         rng = np.random.default_rng(seed)
@@ -319,6 +347,7 @@ class Vector:
             else rng.integers(0, 2**31 - 1, self._n).astype(self._dtype.np_dtype)
         )
         self._dense_cache = None
+        self._host_stale = False
 
     # -- constructors ------------------------------------------------------
     @classmethod
@@ -360,14 +389,26 @@ class Vector:
         return self._dense_cache
 
     def _adopt(self, dv: DenseVec):
-        """Replace contents with a device vector (eager result write-back)."""
+        """Replace contents with a device vector.  The device snapshot
+        stays canonical; host staging syncs lazily on read()/set() — the
+        reference likewise keeps device decorations alive between ops
+        (``storage_manager_matrix.hpp:138-142``) instead of reading back."""
         self._dense_cache = dv
+        self._host_stale = True
+        self._fill_np = None
+        return self
+
+    def _sync_host(self):
+        """Materialize host staging from the device snapshot (lazy D2H)."""
+        if not self._host_stale:
+            return
+        dv = self._dense_cache
         d = np.asarray(dv.values)
-        self._fill = np.asarray(dv.fill)[()].astype(self._dtype.np_dtype)
-        stored = np.nonzero(d != self._fill)[0]
+        self._fill_np = np.asarray(dv.fill)[()].astype(self._dtype.np_dtype)
+        stored = np.nonzero(d != self._fill_np)[0]
         self._idx = stored
         self._val = d[stored].astype(self._dtype.np_dtype)
-        return self
+        self._host_stale = False
 
     def to_numpy(self):
         return np.asarray(self._device().values)
@@ -450,13 +491,14 @@ class Matrix:
     def __init__(self, shape, dtype: Type = INT, label=None):
         self._shape = (int(shape[0]), int(shape[1]))
         self._dtype = dtype
-        self._fill = _zero(dtype.np_dtype)
+        self._fill_np = _zero(dtype.np_dtype)
         self._rows = np.zeros(0, np.int64)
         self._cols = np.zeros(0, np.int64)
         self._vals = np.zeros(0, dtype.np_dtype)
         self._reduce_fn = None
         self._csr_cache = None
         self._csr_t_cache = None
+        self._host_stale = False  # True = device snapshot is canonical
         self.label = label
 
     # -- properties -------------------------------------------------------
@@ -477,11 +519,24 @@ class Matrix:
         return self._shape
 
     @property
+    def _fill(self):
+        if self._fill_np is None:
+            self._fill_np = np.asarray(self._csr_cache.fill)[()].astype(
+                self._dtype.np_dtype
+            )
+        return self._fill_np
+
+    @_fill.setter
+    def _fill(self, value):
+        self._fill_np = value
+
+    @property
     def fill_value(self):
         return Scalar(self._fill, self._dtype)
 
     def set_fill_value(self, value):
-        self._fill = self._dtype.np_dtype.type(_sval(value))
+        self._sync_host()
+        self._fill_np = self._dtype.np_dtype.type(_sval(value))
         self._invalidate()
 
     def set_format(self, fmt):
@@ -496,6 +551,7 @@ class Matrix:
 
     # -- mutation -----------------------------------------------------------
     def set(self, i, j, v):
+        self._sync_host()  # appends need the current contents
         self._rows = np.append(self._rows, i)
         self._cols = np.append(self._cols, j)
         self._vals = np.append(self._vals, self._dtype.np_dtype.type(v))
@@ -506,16 +562,34 @@ class Matrix:
     set_float = set
 
     def get(self, i, j):
-        d = np.asarray(F.csr_to_dense(self._device()))
-        return d[i, j].item()
+        """Read one element via a CSR row-window search — O(row degree)
+        transferred, never a densified matrix (reference reads via a DOK
+        hash, ``src/core/tmatrix.hpp:179-210``)."""
+        A = self._device()
+        s = int(np.asarray(A.indptr[i]))
+        e = int(np.asarray(A.indptr[i + 1]))
+        if e > s:
+            cols = np.asarray(A.cols[s:e])
+            hit = np.nonzero(cols == j)[0]
+            if hit.size:
+                return np.asarray(A.values[s + int(hit[0])])[()].item()
+        return self._fill.item() if hasattr(self._fill, "item") else self._fill
 
     def build(self, view_I, view_J, view_V):
         self._rows = np.asarray(view_I, np.int64).copy()
         self._cols = np.asarray(view_J, np.int64).copy()
         self._vals = np.asarray(view_V, self._dtype.np_dtype).copy()
         self._invalidate()
+        self._host_stale = False
 
     def read(self):
+        if self._host_stale:
+            self._sync_host()  # the full pull doubles as the lazy sync
+            return (
+                self._rows.astype(np.int64),
+                self._cols.astype(np.int64),
+                self._vals.copy(),
+            )
         A = self._device()
         nnz = int(np.asarray(A.nnz))
         return (
@@ -529,6 +603,7 @@ class Matrix:
         self._cols = np.zeros(0, np.int64)
         self._vals = np.zeros(0, self._dtype.np_dtype)
         self._invalidate()
+        self._host_stale = False
 
     # -- constructors ---------------------------------------------------------
     @classmethod
@@ -585,15 +660,27 @@ class Matrix:
         return self._csr_t_cache
 
     def _adopt(self, A: CsrMatrix):
+        """Adopt a device result; host staging syncs lazily (the reference
+        keeps device decorations live between ops rather than reading back,
+        ``storage_manager_matrix.hpp:138-142``)."""
         self._csr_cache = A
         self._csr_t_cache = None
+        self._host_stale = True
+        self._fill_np = None
+        self._shape = A.shape
+        return self
+
+    def _sync_host(self):
+        """Materialize host staging from the device snapshot (lazy D2H)."""
+        if not self._host_stale:
+            return
+        A = self._csr_cache
         nnz = int(np.asarray(A.nnz))
         self._rows = np.asarray(A.row_ids)[:nnz].astype(np.int64)
         self._cols = np.asarray(A.cols)[:nnz].astype(np.int64)
         self._vals = np.asarray(A.values)[:nnz].astype(self._dtype.np_dtype)
-        self._fill = np.asarray(A.fill)[()].astype(self._dtype.np_dtype)
-        self._shape = A.shape
-        return self
+        self._fill_np = np.asarray(A.fill)[()].astype(self._dtype.np_dtype)
+        self._host_stale = False
 
     def to_numpy(self):
         return np.asarray(F.csr_to_dense(self._device()))

@@ -49,12 +49,20 @@ _HOST_ARRAYS: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
 _HOST_DATA: dict = {}
 
 
+def _evict_host_data(key):
+    # skip if a live object has since recycled the id (its entries
+    # overwrote the dead object's under the same key)
+    if _HOST_ARRAYS.get(key) is None:
+        _HOST_DATA.pop(key, None)
+
+
 def register_host_arrays(values_dev, rows, cols, vals) -> None:
     """Remember the numpy (rows, cols, vals) that produced a device CSR."""
     key = id(values_dev)
     _HOST_DATA[key] = (rows, cols, vals)
     try:
         _HOST_ARRAYS[key] = values_dev  # keeps key valid only while alive
+        weakref.finalize(values_dev, _evict_host_data, key)
     except TypeError:  # pragma: no cover - object not weakref-able
         pass
 
@@ -93,9 +101,13 @@ class WeakIdCache:
         self._alive = weakref.WeakValueDictionary()
         self._data = {}
 
-    def _gc(self, key):
-        if self._alive.get(key[0]) is None:
-            self._data.pop(key, None)
+    def _gc(self, oid):
+        # fired by weakref.finalize when the key object dies; skip if a
+        # live object has since recycled the id (its puts overwrote the
+        # dead entries under the same keys)
+        if self._alive.get(oid) is None:
+            for k in [k for k in self._data if k[0] == oid]:
+                self._data.pop(k, None)
 
     def get(self, obj, extra=()):
         key = (id(obj), *extra)
@@ -111,7 +123,9 @@ class WeakIdCache:
     def put(self, obj, value, extra=()):
         key = (id(obj), *extra)
         try:
-            self._alive[id(obj)] = obj
+            if self._alive.get(id(obj)) is not obj:
+                self._alive[id(obj)] = obj
+                weakref.finalize(obj, self._gc, id(obj))
         except TypeError:  # pragma: no cover - non-weakref-able
             pass
         self._data[key] = value

@@ -36,9 +36,14 @@ def _native_lib():
         return _LIB
     _LIB_TRIED = True
     src = os.path.abspath(os.path.join(_NATIVE_DIR, "mtxio.cpp"))
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libmtxio.so"))
     try:
-        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        # content-hash keyed binary: a stale/foreign-arch .so never loads
+        import hashlib
+
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:12]
+        so = os.path.abspath(os.path.join(_NATIVE_DIR, f"libmtxio-{tag}.so"))
+        if not os.path.exists(so):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so],
                 check=True,

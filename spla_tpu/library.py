@@ -84,6 +84,15 @@ class Library:
         return jax.devices()[0].platform in ("tpu", "axon") and not self.force_no_acceleration
 
     # -- profiling passthrough (reference library.cpp:184-196) --
+    def set_time_profiling(self, enabled: bool) -> None:
+        """Opt into profiled dispatch: facade ops open scopes AND block on
+        their results so wall times mean device time (the reference's
+        profiled debug dispatch, ``cl_debug.hpp:36-103``).  Off by default
+        because the blocking defeats async dispatch."""
+        from .profiling import profiler
+
+        profiler.enabled = bool(enabled)
+
     def time_profile_dump(self) -> str:
         from .profiling import profiler
 

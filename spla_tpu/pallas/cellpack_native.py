@@ -26,9 +26,15 @@ def _native_lib():
         return _LIB
     _LIB_TRIED = True
     src = os.path.abspath(os.path.join(_NATIVE_DIR, "cellpack.cpp"))
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libcellpack.so"))
     try:
-        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        # key the binary on the SOURCE CONTENT, not mtime: a stale or
+        # foreign-arch .so (e.g. from a copied checkout) must never load
+        import hashlib
+
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:12]
+        so = os.path.abspath(os.path.join(_NATIVE_DIR, f"libcellpack-{tag}.so"))
+        if not os.path.exists(so):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so],
                 check=True,
@@ -62,11 +68,64 @@ def _native_lib():
     return _LIB
 
 
+_CACHE_MIN_NNZ = 4_000_000  # below this, packing is faster than disk IO
+
+
+def _cache_dir():
+    d = os.environ.get("SPLA_CACHE_DIR")
+    if d is None:
+        d = os.path.join(os.path.expanduser("~"), ".cache", "spla_tpu")
+    return d
+
+
+def _cache_key(m, n, cw, rows, cols, vals, mode):
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray([m, n, cw, mode], np.int64).tobytes())
+    h.update(rows.tobytes())
+    h.update(cols.tobytes())
+    h.update(vals.tobytes())
+    return h.hexdigest()
+
+
+def _cache_load(path, mode):
+    try:
+        with np.load(path) as z:
+            out = [int(z["nt"]), z["t_vals"], z["t_pk"], z["t_route"],
+                   z["rb"], z["wb"], z["first"]]
+            if mode == 1:
+                out.append(z["invl"])
+        return tuple(out)
+    except Exception:
+        return None
+
+
+def _cache_store(path, packed, mode):
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        names = ["nt", "t_vals", "t_pk", "t_route", "rb", "wb", "first"]
+        if mode == 1:
+            names.append("invl")
+        tmp = path + f".{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:  # file object: numpy won't append .npz
+            np.savez(f, **dict(zip(names, packed)))
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 def native_pack(m, n, cw, rows, cols, vals, mode=0):
     """Returns (n_tiles, t_vals, t_pk, t_route, rb, wb, first[, invl])
     numpy arrays (copies — the native handle is released before returning)
     or None.  mode 0 = PLUS packing; mode 1 = monoid packing (adds the
-    inverse-lane table for the VPU compare-select scatter)."""
+    inverse-lane table for the VPU compare-select scatter).
+
+    Big matrices are persisted to disk (``SPLA_CACHE_DIR``, default
+    ``~/.cache/spla_tpu``) keyed by a content hash, amortizing the
+    one-time pack across processes (the 1-core host needs ~15 s for 33M
+    edges; the reference re-converts per process too, but its CSR build
+    is cheap — ours is the analog of a tuned device format)."""
     lib = _native_lib()
     if lib is None:
         return None
@@ -74,6 +133,14 @@ def native_pack(m, n, cw, rows, cols, vals, mode=0):
     cols = np.ascontiguousarray(cols, np.int32)
     vals = np.ascontiguousarray(vals, np.float32)
     nnz = rows.size
+    cache_path = None
+    if nnz >= _CACHE_MIN_NNZ and not os.environ.get("SPLA_NO_PACK_CACHE"):
+        key = _cache_key(m, n, cw, rows, cols, vals, mode)
+        cache_path = os.path.join(_cache_dir(), f"cellpack-{key}.npz")
+        if os.path.exists(cache_path):
+            hit = _cache_load(cache_path, mode)
+            if hit is not None:
+                return hit
     h = lib.cellpack_run(
         nnz, m, n, cw,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -97,7 +164,11 @@ def native_pack(m, n, cw, rows, cols, vals, mode=0):
             invl = np.ctypeslib.as_array(
                 lib.cellpack_invl(h), shape=(nt, 8, 128)
             ).copy()
-            return nt, t_vals, t_pk, t_route, rb, wb, first, invl
-        return nt, t_vals, t_pk, t_route, rb, wb, first
+            out = (nt, t_vals, t_pk, t_route, rb, wb, first, invl)
+        else:
+            out = (nt, t_vals, t_pk, t_route, rb, wb, first)
+        if cache_path is not None:
+            _cache_store(cache_path, out, mode)
+        return out
     finally:
         lib.cellpack_release(h)

@@ -82,17 +82,22 @@ def _dist_pagerank_impl(mesh, arrs, alpha, eps, n, mloc, n_shards, axis):
         p0 = jnp.where(live, jnp.full((mloc,), 1.0 / n, jnp.float32), 0.0)
 
         def cond(state):
-            return state[1] > eps
+            # iteration cap: f32 error can plateau above a tiny eps forever
+            # (see the single-chip kernel) — an uncapped loop would hang
+            # every chip in the mesh
+            return (state[1] > eps) & (state[2] < 10_000)
 
         def body(state):
-            p_prev, _ = state
+            p_prev, _, it = state
             p_full = lax.all_gather(p_prev, axis, tiled=True)
             ap, _ = masked_spmv(a, p_full, OP.MULT_FLOAT, OP.PLUS_FLOAT, jnp.float32(0))
             p = jnp.where(live, ap + addition, 0.0)
             err2 = lax.psum(jnp.sum((p - p_prev) ** 2), axis)
-            return (p, jnp.sqrt(err2))
+            return (p, jnp.sqrt(err2), it + 1)
 
-        p, _ = lax.while_loop(cond, body, (p0, jnp.float32(eps) + 0.1))
+        p, _, _ = lax.while_loop(
+            cond, body, (p0, jnp.float32(eps) + 0.1, jnp.int32(0))
+        )
         return p[None]
 
     f = jax.shard_map(step, mesh=mesh, in_specs=_ARR_SPECS, out_specs=P(axis))
@@ -124,7 +129,9 @@ def _dist_bfs_impl(mesh, arrs, source, n, mloc, n_shards, axis):
         front0 = gids == source
 
         def cond(state):
-            return state[3] > 0
+            # depth can never exceed n; the cap guards against a stuck
+            # mesh if an invariant is ever violated
+            return (state[3] > 0) & (state[2] <= n)
 
         def body(state):
             v, front, depth, _ = state
@@ -168,10 +175,11 @@ def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis):
         v0 = jnp.where(is_src, 0.0, inf)
 
         def cond(state):
-            return state[2] > 0
+            # Bellman-Ford bound: at most n relaxation rounds
+            return (state[2] > 0) & (state[3] <= n)
 
         def body(state):
-            v, fdb_valid, _ = state
+            v, fdb_valid, _, it = state
             v_full = lax.all_gather(v, axis, tiled=True)
             valid_full = lax.all_gather(fdb_valid, axis, tiled=True)
             frontier, _ = masked_spmv(
@@ -181,9 +189,11 @@ def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis):
             new_v = jnp.minimum(v, frontier)
             changed = new_v != v
             count = lax.psum(jnp.sum(changed).astype(jnp.int32), axis)
-            return (new_v, changed, count)
+            return (new_v, changed, count, it + 1)
 
-        v, _, _ = lax.while_loop(cond, body, (v0, is_src, jnp.int32(1)))
+        v, _, _, _ = lax.while_loop(
+            cond, body, (v0, is_src, jnp.int32(1), jnp.int32(1))
+        )
         return v[None]
 
     f = jax.shard_map(step, mesh=mesh, in_specs=_ARR_SPECS, out_specs=P(axis))

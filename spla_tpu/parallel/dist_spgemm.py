@@ -314,6 +314,11 @@ def dist_mxmT_masked_reduce(
     global result is one psum.  (Fusing the reduce is exact for PLUS;
     triangle counting is its only reference use —
     ``src/algorithm.cpp:380-414``.)"""
+    if getattr(op_add, "name", None) not in (None, "PLUS"):
+        raise NotImplementedError(
+            "dist_mxmT_masked_reduce folds with PLUS only (the reduction is "
+            f"fused into the rotation loop); got op_add={op_add.name}."
+        )
     cap = products_cap if products_cap is not None else count_dist_mxmT_cap(mask, B)
     cap = max(int(cap), 1)
     from ..utils.search import bisect_steps

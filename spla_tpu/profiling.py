@@ -34,7 +34,11 @@ class TimeProfiler:
     def __init__(self):
         self._labels: dict[str, _Label] = {}
         self._stack = threading.local()
-        self.enabled = True
+        # Off by default: enabled scopes block on results (device sync),
+        # defeating async dispatch — the reference likewise only blocks in
+        # profiled debug builds (cl_debug.hpp).  Opt in via
+        # Library.set_time_profiling(True) / profiler.enabled = True.
+        self.enabled = False
 
     def _stk(self):
         if not hasattr(self._stack, "s"):

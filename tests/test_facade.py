@@ -4,7 +4,7 @@ test_matrix.cpp and the pyspla examples in python/example.py)."""
 import numpy as np
 import pytest
 
-from spla_tpu.facade import Array, Matrix, Scalar, Vector
+from spla_tpu.facade import Array, Matrix, MemView, Scalar, Vector
 from spla_tpu.types import FLOAT, INT, UINT
 
 
@@ -245,3 +245,62 @@ def test_vector_fill_value_semantics():
     v = Vector.from_lists([1], [2.5], (4,), FLOAT, fill_value=-1.0)
     assert v.get(0) == -1.0  # unset slot reads the fill value
     assert v.get(1) == 2.5
+
+
+def test_facade_device_resident_lazy_sync():
+    """Op results stay device-resident; host staging syncs lazily and
+    chained ops never round-trip (VERDICT r1: facade D2H per op)."""
+    import numpy as np
+
+    from spla_tpu import INT
+
+    A = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3], shape=(3, 3), dtype=INT)
+    B = A.mxm(A, INT.MULT, INT.PLUS)
+    assert B._host_stale and B._csr_cache is not None
+    # chaining off a stale result works without a host sync
+    C = B.mxm(A, INT.MULT, INT.PLUS)
+    assert B._host_stale  # untouched by the chain
+    # reads force the sync and agree with numpy
+    a = np.zeros((3, 3)); a[0, 1], a[1, 2], a[2, 0] = 1, 2, 3
+    np.testing.assert_array_equal(C.to_numpy(), (a @ a) @ a)
+    r, c, v = B.read()
+    assert B._host_stale is False
+    np.testing.assert_array_equal(B.to_numpy(), a @ a)
+    # mutation after adoption sees the synced contents
+    B.set(0, 0, 7)
+    assert B.get(0, 0) == 7
+
+
+def test_matrix_get_no_densify():
+    """Matrix.get reads one element via row-window search (never builds
+    an m x n dense array)."""
+    from spla_tpu import FLOAT
+
+    A = Matrix.from_lists([0, 5, 9], [3, 5, 0], [1.5, 2.5, 3.5],
+                          shape=(10, 10), dtype=FLOAT)
+    assert A.get(0, 3) == 1.5
+    assert A.get(5, 5) == 2.5
+    assert A.get(9, 0) == 3.5
+    assert A.get(4, 4) == 0.0  # absent -> fill
+    A.set_fill_value(-1.0)
+    assert A.get(4, 4) == -1.0
+
+
+def test_vector_get_single_element():
+    from spla_tpu import INT
+
+    v = Vector.from_lists([1, 3], [10, 30], (5,), INT)
+    assert v.get(1) == 10 and v.get(3) == 30 and v.get(0) == 0
+    w = v.eadd(INT.PLUS, v)
+    assert w._host_stale
+    assert w.get(3) == 60
+    assert w._host_stale  # get() is a point read, not a full sync
+
+
+def test_memview_rejects_noncontiguous():
+    import numpy as np
+    import pytest
+
+    a = np.arange(10)
+    with pytest.raises(ValueError):
+        MemView(a[::2])

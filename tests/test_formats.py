@@ -102,3 +102,40 @@ def test_bsr_from_csr(rng):
     for t in range(nnzb):
         dense[brows[t] * 8 : brows[t] * 8 + 8, bcols[t] * 8 : bcols[t] * 8 + 8] = blocks[t]
     np.testing.assert_allclose(dense[:20, :20], a.toarray())
+
+
+def test_weak_id_cache_finalizer_evicts():
+    """Dead key objects evict their cache entries promptly (round-1
+    advisor: lazy eviction pinned O(nnz) data forever)."""
+    import gc
+
+    from spla_tpu.formats import WeakIdCache
+
+    class K:  # weakref-able key stand-in
+        pass
+
+    cache = WeakIdCache()
+    k = K()
+    cache.put(k, "payload", ("a",))
+    cache.put(k, "payload2", ("b",))
+    assert cache.get(k, ("a",)) == "payload"
+    del k
+    gc.collect()
+    assert not cache._data  # finalizer removed every entry for that id
+
+
+def test_host_data_finalizer_evicts():
+    import gc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spla_tpu import formats as F
+
+    v = jnp.arange(4.0)
+    key = id(v)
+    F.register_host_arrays(v, np.zeros(1), np.zeros(1), np.zeros(1))
+    assert key in F._HOST_DATA
+    del v
+    gc.collect()
+    assert key not in F._HOST_DATA

@@ -30,8 +30,16 @@ def test_message_callback():
     set_message_callback(None)
 
 
+def test_profiler_disabled_by_default():
+    # profiled dispatch blocks on device results; must be opt-in
+    import spla_tpu.profiling as P
+
+    assert P.TimeProfiler().enabled is False
+
+
 def test_profiler_scopes():
     profiler.reset()
+    profiler.enabled = True
     with time_profile_scope("outer"):
         with time_profile_scope("outer/inner"):
             time.sleep(0.01)
@@ -42,6 +50,7 @@ def test_profiler_scopes():
     dump = profiler.dump()
     assert "outer" in dump
     profiler.reset()
+    profiler.enabled = False
     assert not profiler.stats()
 
 
@@ -62,14 +71,18 @@ def test_profiler_scopes_facade_ops():
     from spla_tpu.profiling import profiler
 
     profiler.reset()
-    A = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3], shape=(3, 3), dtype=INT)
-    A.mxm(A, INT.MULT, INT.PLUS)
-    v = Vector.from_lists([0, 2], [5, 7], (3,), INT)
-    v.reduce(INT.PLUS)
-    stats = profiler.stats()
-    assert "matrix_mxm" in stats and stats["matrix_mxm"]["count"] == 1
-    assert "vector_reduce" in stats
-    dump = get_library().time_profile_dump()
-    assert "matrix_mxm" in dump
+    get_library().set_time_profiling(True)
+    try:
+        A = Matrix.from_lists([0, 1, 2], [1, 2, 0], [1, 2, 3], shape=(3, 3), dtype=INT)
+        A.mxm(A, INT.MULT, INT.PLUS)
+        v = Vector.from_lists([0, 2], [5, 7], (3,), INT)
+        v.reduce(INT.PLUS)
+        stats = profiler.stats()
+        assert "matrix_mxm" in stats and stats["matrix_mxm"]["count"] == 1
+        assert "vector_reduce" in stats
+        dump = get_library().time_profile_dump()
+        assert "matrix_mxm" in dump
+    finally:
+        get_library().set_time_profiling(False)
     profiler.reset()
     assert profiler.stats() == {}
