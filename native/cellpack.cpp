@@ -37,10 +37,12 @@ struct Pack {
     int32_t* rb = nullptr;     // [n_tiles]
     int32_t* wb = nullptr;     // [n_tiles]
     int32_t* first = nullptr;  // [n_tiles]
-    int8_t* invl = nullptr;    // [n_tiles * 8 * 128] (monoid mode only)
+    int8_t* invl = nullptr;    // [n_tiles * 8 * 128] (modes 1/2)
+    int8_t* stab = nullptr;    // [n_tiles * 64 * 128] nibble S-table (mode 2)
     ~Pack() {
         std::free(vals); std::free(pk); std::free(route);
         std::free(rb); std::free(wb); std::free(first); std::free(invl);
+        std::free(stab);
     }
 };
 
@@ -64,6 +66,12 @@ extern "C" {
 //         invl[t][s][l] = slot lane of the row-s entry with that l is
 //         emitted, enabling the VPU compare-select scatter for ANY monoid
 //         (min/max/or/...), not just MXU-able PLUS.
+// mode 2: mode 1 + at most ONE entry per output row per tile, emitting a
+//         nibble S-table stab[t][gg][l] = (sublane of entry (gg,l) |
+//         sublane of entry (gg+64,l) << 4), 0xF = absent.  The kernel
+//         scatter then collapses to depth-8 sublane gathers indexed by S
+//         (one VPU gather per 8 output rows) instead of the 8-step
+//         128x128 compare-select sweep — the round-1 bottleneck.
 void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                    const int32_t* rows, const int32_t* cols,
                    const float* vals, int32_t mode) {
@@ -125,9 +133,13 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         if (!v) return false; out->wb = (int32_t*)v;
         v = std::realloc(out->first, na * sizeof(int32_t));
         if (!v) return false; out->first = (int32_t*)v;
-        if (mode == 1) {
+        if (mode >= 1) {
             v = std::realloc(out->invl, na * TILE);
             if (!v) return false; out->invl = (int8_t*)v;
+        }
+        if (mode == 2) {
+            v = std::realloc(out->stab, na * 8192);
+            if (!v) return false; out->stab = (int8_t*)v;
         }
         alloc = na;
         return true;
@@ -135,6 +147,11 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 
     std::vector<int16_t> claim_pool((size_t)PROBE_TILES * cwr * 128);
     OpenTile tiles[PROBE_TILES];
+
+    // mode 2: tile-id stamps per (probe slot, local row) for the
+    // one-entry-per-row-per-tile constraint (no per-tile memsets)
+    std::vector<int64_t> row_stamp;
+    if (mode == 2) row_stamp.assign((size_t)PROBE_TILES * ROW_BLOCK, -1);
 
     int64_t t_next = 0;
     for (int p = 0; p < PROBE_TILES; ++p)
@@ -155,7 +172,8 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         out->rb[t.id] = (int32_t)(cell / nwc);
         out->wb[t.id] = (int32_t)(cell % nwc);
         out->first[t.id] = 0;
-        if (mode == 1) std::memset(out->invl + t.id * TILE, 0xFF, TILE);
+        if (mode >= 1) std::memset(out->invl + t.id * TILE, 0xFF, TILE);
+        if (mode == 2) std::memset(out->stab + t.id * 8192, 0xFF, 8192);
         return true;
     };
 
@@ -176,7 +194,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
             const int64_t cell = rbi * nwc + w;
             const int64_t lo = cell_count[cell], hi = cell_count[cell + 1];
             if (lo == hi) continue;
-            if (mode == 1 && hi - lo > 1) {
+            if (mode >= 1 && hi - lo > 1) {
                 std::memset(l_counter, 0, sizeof(l_counter));
                 deal.clear();
                 deal.reserve(hi - lo);
@@ -205,8 +223,12 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 
                 int placed_tile = -1, placed_lane = -1, placed_sub = -1;
                 for (int k = 0; k < n_open && placed_tile < 0; ++k) {
-                    OpenTile& t = tiles[(newest - k + PROBE_TILES) % PROBE_TILES];
+                    const int slot_k = (newest - k + PROBE_TILES) % PROBE_TILES;
+                    OpenTile& t = tiles[slot_k];
                     if (t.used >= TILE) continue;
+                    if (mode == 2 &&
+                        row_stamp[(size_t)slot_k * ROW_BLOCK + local] == t.id)
+                        continue;  // row already present in this tile
                     int16_t* crow = t.claim + (size_t)w7 * 128;
                     for (int pr = 0; pr < PROBE_LANES; ++pr) {
                         const int lane = (b + pr) & 127;
@@ -225,7 +247,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                             }
                             if (placed_sub < 0) continue;
                         }
-                        placed_tile = (newest - k + PROBE_TILES) % PROBE_TILES;
+                        placed_tile = slot_k;
                         placed_lane = lane;
                         break;
                     }
@@ -243,7 +265,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                 OpenTile& t = tiles[placed_tile];
                 const int lane = placed_lane;
                 const int sub = (mode == 0) ? t.sub_count[lane]++ : placed_sub;
-                if (mode == 1) {
+                if (mode >= 1) {
                     t.slot_taken[sub][lane] = 1;
                     t.l_used[sub][l] = 1;
                 }
@@ -254,8 +276,17 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                 out->pk[slot] = w7 | (g << 7) | (l << 14) | VALID_BIT;
                 out->route[t.id * cwr * 128 + (size_t)w7 * 128 + lane] =
                     (int8_t)b;
-                if (mode == 1)
+                if (mode >= 1)
                     out->invl[t.id * TILE + sub * 128 + l] = (int8_t)lane;
+                if (mode == 2) {
+                    row_stamp[(size_t)placed_tile * ROW_BLOCK + local] = t.id;
+                    int8_t* sb =
+                        out->stab + t.id * 8192 + (size_t)(g & 63) * 128 + l;
+                    const uint8_t cur = (uint8_t)*sb;
+                    *sb = (g < 64)
+                              ? (int8_t)((cur & 0xF0) | (uint8_t)sub)
+                              : (int8_t)((cur & 0x0F) | ((uint8_t)sub << 4));
+                }
             }
         }
         if (!rb_has_tile) {  // empty row block still needs a zeroing tile
@@ -266,7 +297,8 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
             out->rb[t_next] = (int32_t)rbi;
             out->wb[t_next] = 0;
             out->first[t_next] = 0;
-            if (mode == 1) std::memset(out->invl + t_next * TILE, 0xFF, TILE);
+            if (mode >= 1) std::memset(out->invl + t_next * TILE, 0xFF, TILE);
+            if (mode == 2) std::memset(out->stab + t_next * 8192, 0xFF, 8192);
             ++t_next;
         }
     }
@@ -277,7 +309,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         out->first[t] = (r != last_rb_emitted) ? 1 : 0;
         last_rb_emitted = r;
     }
-    if (mode == 1) {
+    if (mode >= 1) {
         // resolve invl sentinels: point absent-l slots at an INVALID slot
         // lane of the same sublane row (a full row has no sentinels, since
         // its 128 distinct l values cover every slot)
@@ -301,6 +333,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 }
 
 int8_t* cellpack_invl(void* h) { return ((Pack*)h)->invl; }
+int8_t* cellpack_stab(void* h) { return ((Pack*)h)->stab; }
 
 int64_t cellpack_n_tiles(void* h) { return ((Pack*)h)->n_tiles; }
 float* cellpack_vals(void* h) { return ((Pack*)h)->vals; }

@@ -92,12 +92,24 @@ def _structural_or(av, xv):
     return xv  # values are {0,1}; MAX accumulation = boolean OR
 
 
+def _monoid_apply(fmt):
+    """Pick the apply fn matching the format type (S-table scatter when
+    the mode-2 packer produced one, else the mode-1 sweep)."""
+    from .pallas.spmv import (
+        SCellSpmv,
+        monoid_cell_spmv_apply,
+        s_cell_spmv_apply,
+    )
+
+    return s_cell_spmv_apply if isinstance(fmt, SCellSpmv) else monoid_cell_spmv_apply
+
+
 @partial(jax.jit, static_argnames=("monoid",))
 def _bfs_kernel_pallas(fmt, source, monoid=True):
     """BFS levels with the Pallas cell-SpMV as the traversal kernel: the
     frontier is a {0,1} f32 vector; hits accumulate with MAX (boolean OR)
     on the VPU monoid scatter, or PLUS counting on the MXU fallback."""
-    from .pallas.spmv import cell_spmv_apply, monoid_cell_spmv_apply
+    from .pallas.spmv import cell_spmv_apply
 
     n = fmt.m
     v0 = jnp.zeros((n,), jnp.int32)
@@ -110,7 +122,7 @@ def _bfs_kernel_pallas(fmt, source, monoid=True):
         v, front, depth, _ = state
         v = jnp.where(front > 0, depth, v)
         if monoid:
-            hits = monoid_cell_spmv_apply(
+            hits = _monoid_apply(fmt)(
                 fmt, front, op_mul=_structural_or, op_add=jnp.maximum,
                 identity=0.0, skip_inactive=True,
             )
@@ -137,12 +149,9 @@ def bfs(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
     if At is None:
         At = A
     if _on_tpu():
-        from .pallas.spmv import (
-            get_structural_format,
-            get_structural_monoid_format,
-        )
+        from .pallas.spmv import get_best_monoid_format, get_structural_format
 
-        fmtM = get_structural_monoid_format(At)
+        fmtM, _ = get_best_monoid_format(At, structural=True)
         if fmtM is not None:
             v = _bfs_kernel_pallas(fmtM, jnp.asarray(source, jnp.int32))
         else:
@@ -217,11 +226,8 @@ def _minplus_mul(av, xv):
 
 @jax.jit
 def _sssp_kernel_pallas(fmt, source):
-    """Min-plus relaxation with the Pallas monoid kernel (VPU
-    compare-select scatter accumulates MIN, which the MXU one-hot path
-    cannot)."""
-    from .pallas.spmv import monoid_cell_spmv_apply
-
+    """Min-plus relaxation with the Pallas monoid kernel (the VPU scatter
+    accumulates MIN, which the MXU one-hot path cannot)."""
     n = fmt.m
     inf = jnp.float32(jnp.inf)
     v0 = jnp.full((n,), inf, jnp.float32).at[source].set(0.0)
@@ -231,7 +237,7 @@ def _sssp_kernel_pallas(fmt, source):
 
     def body(state):
         v, _ = state
-        frontier = monoid_cell_spmv_apply(
+        frontier = _monoid_apply(fmt)(
             fmt, v, op_mul=_minplus_mul, op_add=jnp.minimum,
             identity=float("inf"), skip_inactive=True,
         )
@@ -251,9 +257,9 @@ def sssp(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
     if At is None:
         At = A
     if _on_tpu() and At.values.dtype == jnp.float32:
-        from .pallas.spmv import get_monoid_format
+        from .pallas.spmv import get_best_monoid_format
 
-        fmt = get_monoid_format(At)
+        fmt, _ = get_best_monoid_format(At)
         if fmt is not None:
             v = _sssp_kernel_pallas(fmt, jnp.asarray(source, jnp.int32))
             return DenseVec(v, jnp.float32(jnp.inf))
@@ -322,7 +328,7 @@ def _mult(av, xv):
 
 @partial(jax.jit, static_argnames=("monoid",))
 def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
-    from .pallas.spmv import cell_spmv_apply, monoid_cell_spmv_apply
+    from .pallas.spmv import cell_spmv_apply
 
     n = fmt.m
     addition = (1.0 - alpha) / n
@@ -334,7 +340,7 @@ def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
     def body(state):
         p_prev, _, it = state
         if monoid:
-            ap = monoid_cell_spmv_apply(
+            ap = _monoid_apply(fmt)(
                 fmt, p_prev, op_mul=_mult, op_add=jnp.add, identity=0.0
             )
         else:
@@ -350,9 +356,9 @@ def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
 def pr(A: CsrMatrix, alpha: float = 0.85, eps: float = 1e-6,
        descriptor: Descriptor | None = None) -> DenseVec:
     if _on_tpu() and A.values.dtype == jnp.float32:
-        from .pallas.spmv import get_cell_format, get_monoid_format
+        from .pallas.spmv import get_best_monoid_format, get_cell_format
 
-        fmtM = get_monoid_format(A)
+        fmtM, _ = get_best_monoid_format(A)
         if fmtM is not None:
             p = _pr_kernel_pallas(fmtM, jnp.float32(alpha), jnp.float32(eps))
         else:
@@ -401,6 +407,22 @@ def tc(A: CsrMatrix, products_cap: int | None = None) -> int:
     is_pattern = bool(
         np.asarray(jnp.all(jnp.where(A.valid_mask(), A.values, 1) == 1))
     )
+    if _on_tpu():
+        # fused Pallas intersection kernel (reduce folded in) — the
+        # reference's cl_mxmT_masked + m_reduce pipeline in one pass
+        from .formats import host_coo
+        from .pallas.mxmt import pairs_available, pallas_mxmT_reduce
+
+        if pairs_available():
+            rows, cols, vals = host_coo(A)
+            indptr = np.asarray(A.indptr)
+            keep = vals > 0  # GTZERO select on the mask values
+            av = np.ones_like(vals) if is_pattern else vals
+            r = pallas_mxmT_reduce(
+                rows[keep], cols[keep], indptr, cols, av, indptr, cols, av
+            )
+            if r is not None:
+                return int(round(r))
     B = mxmT_masked(
         A, A, A, OP.MULT_INT, OP.PLUS_INT, OP.GTZERO_INT, 0,
         products_cap=products_cap, struct_only=is_pattern,

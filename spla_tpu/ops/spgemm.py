@@ -174,6 +174,126 @@ def _mxm_numeric(A, B, init_a, op_mul, op_add, products_cap, out_capacity):
     return coo_to_csr(coo)
 
 
+_MXMT_IDENT = {"add": 0.0, "min": float("inf"), "max": float("-inf")}
+_MXMT_INT_MULS = {"MULT", "PLUS", "MIN", "MAX", "FIRST", "SECOND"}
+
+
+def _pallas_mxmT_try(mask, A, B, op_mul, op_add, op_select, init_a,
+                     out_capacity, struct_only):
+    """TPU fast path for mxmT_masked: the Pallas chunked-intersection
+    kernel (``spla_tpu.pallas.mxmt``) + one device-side segment fold.
+    Returns the result CSR or None when a gate fails (falls back to the
+    XLA expansion path).  Integer dtypes ride the exact f32 embedding
+    (every |value| and intermediate < 2^24, conservatively gated)."""
+    try:
+        on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return None
+    if not on_tpu:
+        return None
+    kind = getattr(op_add, "scatter", None)
+    if kind not in _MXMT_IDENT:
+        return None
+    dtype = A.values.dtype
+    int_mode = dtype in (jnp.int32, jnp.uint32)
+    if dtype != jnp.float32 and not int_mode:
+        return None
+    mul_name = "MULT" if op_mul is None else getattr(op_mul, "name", None)
+    if int_mode and not struct_only and mul_name not in _MXMT_INT_MULS:
+        return None
+    from ..pallas.mxmt import pairs_available, pallas_mxmT_job_partials
+
+    if not pairs_available():
+        return None
+    from ..formats import host_coo
+
+    m, n = mask.shape
+    nnz_m = int(np.asarray(mask.nnz))
+    mrow, mcol, mval = host_coo(mask, nnz=nnz_m)
+    _, a_cols_h, a_vals_h = host_coo(A)
+    _, b_cols_h, b_vals_h = host_coo(B)
+    a_indptr = np.asarray(A.indptr)
+    b_indptr = np.asarray(B.indptr)
+    # columns must be sorted within rows for the chunk staircase
+    if np.any(np.diff(a_cols_h) <= 0) and not _rows_sorted(a_indptr, a_cols_h):
+        return None
+    if np.any(np.diff(b_cols_h) <= 0) and not _rows_sorted(b_indptr, b_cols_h):
+        return None
+    if struct_only:
+        sel = np.ones(nnz_m, bool)
+        av = np.ones_like(a_vals_h, np.float32)
+        bv = np.ones_like(b_vals_h, np.float32)
+    else:
+        sel = np.asarray(op_select.fn(mval)).astype(bool)
+        av = a_vals_h.astype(np.float32)
+        bv = b_vals_h.astype(np.float32)
+        if int_mode:
+            # exact-f32 gate: every product and per-entry fold < 2^24
+            lim = float(1 << 24)
+            amax = float(np.abs(av).max(initial=0.0))
+            bmax = float(np.abs(bv).max(initial=0.0))
+            pmax = max(amax * bmax, amax + bmax)
+            deg_b_max = float(np.diff(b_indptr).max(initial=0))
+            bound = pmax * max(deg_b_max, 1.0) if kind == "add" else pmax
+            if bound >= lim or abs(float(np.asarray(init_a))) >= lim:
+                return None
+    mrow_s = mrow[sel].astype(np.int32)
+    mcol_s = mcol[sel].astype(np.int32)
+    n_keep = int(mrow_s.size)
+    ident = _MXMT_IDENT[kind]
+    mul = None if op_mul is None else getattr(op_mul, "fn", op_mul)
+    out = pallas_mxmT_job_partials(
+        mrow_s, mcol_s, a_indptr, a_cols_h, av, b_indptr, b_cols_h, bv,
+        op_mul=mul, op_add=op_add, identity=ident,
+    )
+    if out is None:
+        return None
+    partials, seg, njr = out
+    init_f = jnp.float32(np.asarray(init_a))
+    nseg = max(n_keep, 1)
+    valid = jnp.arange(partials.shape[0]) < njr
+    folded, _ = segment_fold(
+        partials, jnp.asarray(seg), valid, nseg, op_add, init_f,
+        sorted_ids=True,
+    )
+    folded = folded[:nseg]
+    if int_mode:
+        folded_t = jnp.round(folded).astype(dtype)
+    else:
+        folded_t = folded
+    keep = (jnp.arange(nseg) < n_keep) & (folded_t != init_a)
+    out_cap = int(out_capacity) if out_capacity is not None else nseg
+    (pos,) = jnp.nonzero(keep, size=out_cap, fill_value=nseg)
+    posc = jnp.clip(pos, 0, nseg - 1)
+    ok = pos < nseg
+    rows_h = np.full(nseg, m, np.int32)
+    rows_h[:n_keep] = mrow_s
+    cols_h2 = np.zeros(nseg, np.int32)
+    cols_h2[:n_keep] = mcol_s
+    rows_d = jnp.asarray(rows_h)
+    cols_d = jnp.asarray(cols_h2)
+    coo = CooMatrix(
+        shape=(m, n),
+        rows=jnp.where(ok, rows_d[posc], m).astype(jnp.int32),
+        cols=jnp.where(ok, cols_d[posc], 0).astype(jnp.int32),
+        values=jnp.where(ok, folded_t[posc], init_a),
+        nnz=jnp.sum(keep).astype(jnp.int32),
+        fill=init_a,
+    )
+    return coo_to_csr(coo)
+
+
+def _rows_sorted(indptr, cols):
+    """cols strictly increasing within every row."""
+    nnz = cols.shape[0]
+    if nnz <= 1:
+        return True
+    inc = np.diff(cols) > 0
+    heads = np.zeros(nnz, bool)
+    heads[indptr[:-1][indptr[:-1] < nnz]] = True
+    return bool(np.all(inc | heads[1:]))
+
+
 def mxmT_masked(
     mask: CsrMatrix,
     A: CsrMatrix,
@@ -196,6 +316,12 @@ def mxmT_masked(
     indicators, skipping three full-width value gathers (the dominant
     cost: TPU gathers are scalar).  Exact for triangle counting."""
     init_a = _scalar(init, A.values.dtype)
+    fast = _pallas_mxmT_try(
+        mask, A, B, op_mul, op_add, op_select, init_a, out_capacity,
+        struct_only,
+    )
+    if fast is not None:
+        return fast
     if products_cap is None:
         products_cap = max(count_mxmT_products(mask, B), 1)
     # tight static bisection bound from A's max row degree: every extra

@@ -112,9 +112,12 @@ def best_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
         on_tpu = False
     if on_tpu:
         try:
-            from ..pallas.spmv import pallas_spmv_fn
+            from ..pallas.spmv import pallas_spmv_fn, pallas_spmv_fn_int
 
             fn = pallas_spmv_fn(A, op_mul, op_add, init)
+            if fn is None:
+                # int32/uint32 semirings via the exact f32 embedding
+                fn = pallas_spmv_fn_int(A, op_mul, op_add, init)
             if fn is not None:
                 return fn
         except ImportError:

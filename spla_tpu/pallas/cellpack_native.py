@@ -57,6 +57,7 @@ def _native_lib():
             ("cellpack_wb", ctypes.c_int32),
             ("cellpack_first", ctypes.c_int32),
             ("cellpack_invl", ctypes.c_int8),
+            ("cellpack_stab", ctypes.c_int8),
         ):
             getattr(lib, name).restype = ctypes.POINTER(ct)
             getattr(lib, name).argtypes = [ctypes.c_void_p]
@@ -94,8 +95,10 @@ def _cache_load(path, mode):
         with np.load(path) as z:
             out = [int(z["nt"]), z["t_vals"], z["t_pk"], z["t_route"],
                    z["rb"], z["wb"], z["first"]]
-            if mode == 1:
+            if mode >= 1:
                 out.append(z["invl"])
+            if mode == 2:
+                out.append(z["stab"])
         return tuple(out)
     except Exception:
         return None
@@ -105,8 +108,10 @@ def _cache_store(path, packed, mode):
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         names = ["nt", "t_vals", "t_pk", "t_route", "rb", "wb", "first"]
-        if mode == 1:
+        if mode >= 1:
             names.append("invl")
+        if mode == 2:
+            names.append("stab")
         tmp = path + f".{os.getpid()}.tmp"
         with open(tmp, "wb") as f:  # file object: numpy won't append .npz
             np.savez(f, **dict(zip(names, packed)))
@@ -160,7 +165,15 @@ def native_pack(m, n, cw, rows, cols, vals, mode=0):
         rb = np.ctypeslib.as_array(lib.cellpack_rb(h), shape=(nt,)).copy()
         wb = np.ctypeslib.as_array(lib.cellpack_wb(h), shape=(nt,)).copy()
         first = np.ctypeslib.as_array(lib.cellpack_first(h), shape=(nt,)).copy()
-        if mode == 1:
+        if mode == 2:
+            invl = np.ctypeslib.as_array(
+                lib.cellpack_invl(h), shape=(nt, 8, 128)
+            ).copy()
+            stab = np.ctypeslib.as_array(
+                lib.cellpack_stab(h), shape=(nt, 64, 128)
+            ).copy()
+            out = (nt, t_vals, t_pk, t_route, rb, wb, first, invl, stab)
+        elif mode == 1:
             invl = np.ctypeslib.as_array(
                 lib.cellpack_invl(h), shape=(nt, 8, 128)
             ).copy()

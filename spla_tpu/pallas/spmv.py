@@ -63,9 +63,13 @@ from ..containers import CsrMatrix
 
 __all__ = [
     "CellSpmv",
+    "SCellSpmv",
     "build_cell_spmv",
     "build_cell_spmv_arrays",
+    "build_s_cell_spmv_arrays",
     "cell_spmv_apply",
+    "s_cell_spmv_apply",
+    "get_best_monoid_format",
     "pallas_spmv_fn",
 ]
 
@@ -565,9 +569,9 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     """Return f(A, x) using the Pallas kernel when the semiring is
     supported (add/min/max monoid accumulation, f32), else None.
 
-    Prefers the any-monoid VPU-scatter kernel (exact f32, ~1.5x the MXU
-    one-hot path even for PLUS); falls back to the MXU kernel when the
-    native packer is unavailable (PLUS only)."""
+    Prefers the S-table scatter kernel (exact f32 for any monoid, ~3x the
+    mode-1 sweep); falls back to the MXU one-hot kernel when the native
+    packer is unavailable (PLUS only)."""
     kind = getattr(op_add, "scatter", None)
     if kind not in _SCATTER_MONOIDS:
         return None
@@ -579,7 +583,11 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
         mul = getattr(op_mul, "fn", op_mul)
     init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
 
-    fmtM = get_monoid_format(A)
+    fmtM = get_s_format(A)
+    apply_fn = s_cell_spmv_apply
+    if fmtM is None:
+        fmtM = get_monoid_format(A)
+        apply_fn = monoid_cell_spmv_apply
     # skewed graphs (heavy rows) pad badly under the l-distinct monoid
     # packing; for PLUS the denser MXU layout wins past ~2x the PLUS pad
     if (
@@ -590,9 +598,9 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
         if fmtP.slots * 2 < fmtM.slots:
             fmtM = None
     if fmtM is not None:
-        def fn(_A, x, fmt=fmtM, mul=mul):
-            r = monoid_cell_spmv_apply(fmt, x, op_mul=mul, op_add=combine,
-                                       identity=identity)
+        def fn(_A, x, fmt=fmtM, mul=mul, apply_fn=apply_fn):
+            r = apply_fn(fmt, x, op_mul=mul, op_add=combine,
+                         identity=identity)
             if kind == "add":
                 return r + init_f
             return combine(r, jnp.broadcast_to(init_f, r.shape))
@@ -786,6 +794,189 @@ def monoid_cell_spmv_apply(fmt: MonoidCellSpmv, x, op_mul, op_add, identity,
     return out.reshape(-1)[: fmt.m]
 
 
+# ---------------------------------------------------------------------------
+# S-table variant (round-2 scatter redesign): the packer additionally keeps
+# at most one entry per OUTPUT ROW per tile and emits a per-tile nibble
+# table  S[g, l] = sublane holding the entry for output cell (g, l)
+# (0xF = absent).  The scatter is then 16 depth-8 sublane GATHERS indexed
+# by S (one per 8 output rows) + selects — ~3x fewer VPU ops than the
+# mode-1 8-step (128,128) compare-select sweep, and exact f32 for ANY
+# associative op_add.  Reference role: ``kernels/mxv.cl:44-81``.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SCellSpmv:
+    m: int
+    n: int
+    cw: int
+    n_row_blocks: int
+    n_tiles: int
+    vals: jax.Array  # [T, 8, 128] f32
+    packed: jax.Array  # [T, 8, 128] int32
+    route: jax.Array  # [T, cw//128, 128] int8
+    invl: jax.Array  # [T, 8, 128] int8
+    stab: jax.Array  # [T, 64, 128] int8 nibble-packed S-table
+    rb_of_tile: jax.Array  # [T]
+    wb_of_tile: jax.Array  # [T]
+    is_first: jax.Array  # [T]
+    slots: int
+    nnz: int
+
+
+jax.tree_util.register_dataclass(
+    SCellSpmv,
+    data_fields=["vals", "packed", "route", "invl", "stab", "rb_of_tile",
+                 "wb_of_tile", "is_first"],
+    meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz"],
+)
+
+
+def build_s_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384):
+    """S-table cell layout (packer mode=2); None without the native packer."""
+    from .cellpack_native import native_pack
+
+    assert cw % 1024 == 0 and 1024 <= cw <= 16384, cw
+    nnz = int(np.asarray(rows).shape[0])
+    n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
+    packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
+                         np.asarray(vals), mode=2)
+    if packed is None:
+        return None
+    nt, t_vals, t_pk, t_route, rb_t, wb_t, first_t, invl, stab = packed
+    return SCellSpmv(
+        m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
+        vals=jnp.asarray(t_vals), packed=jnp.asarray(t_pk),
+        route=jnp.asarray(t_route), invl=jnp.asarray(invl),
+        stab=jnp.asarray(stab),
+        rb_of_tile=jnp.asarray(rb_t), wb_of_tile=jnp.asarray(wb_t),
+        is_first=jnp.asarray(first_t), slots=int(nt) * TILE, nnz=nnz,
+    )
+
+
+def _make_s_kernel(op_mul, op_add, identity, cwr):
+    def kernel(rb_ref, first_ref, wb_ref, act_ref, vals_ref, pk_ref, B_ref,
+               invl_ref, stab_ref, x_ref, out_ref):
+        c = pl.program_id(0)
+        ident = jnp.float32(identity)
+
+        @pl.when(first_ref[c] == 1)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, ident)
+
+        @pl.when(act_ref[wb_ref[c]] == 1)
+        def _():
+            pk = pk_ref[0]
+            w7 = pk & 0x7F
+            valid = (pk & VALID_BIT) != 0
+
+            # two-level shuffle gather (unchanged from mode 1)
+            win = x_ref[:]
+            B = B_ref[0].astype(jnp.int32)
+            u = jnp.take_along_axis(win, B, axis=1)
+            r3 = w7 & 7
+            m4 = w7 >> 3
+            xg = jnp.zeros((8, 128), jnp.float32)
+            for mp in range(cwr // 8):
+                cand = jnp.take_along_axis(u[8 * mp : 8 * mp + 8], r3, axis=0)
+                xg = jnp.where(m4 == mp, cand, xg)
+
+            prod = op_mul(vals_ref[0], xg)
+            prod = jnp.where(valid, prod, ident)
+
+            # S-table scatter: psort[s, l] = value of the sublane-s entry
+            # with output lane l (ident when absent); S[g, l] picks the
+            # sublane per output cell, 16 chunked depth-8 gathers build the
+            # (128, 128) delta directly
+            inv = invl_ref[0].astype(jnp.int32)
+            psort = jnp.take_along_axis(prod, inv, axis=1)
+            s8 = stab_ref[0].astype(jnp.int32) & 0xFF
+            parts = []
+            for half in (s8 & 0xF, (s8 >> 4) & 0xF):  # g in [0,64), [64,128)
+                for k in range(8):
+                    sk = half[8 * k : 8 * k + 8]
+                    gk = jnp.take_along_axis(psort, jnp.minimum(sk, 7), axis=0)
+                    parts.append(jnp.where(sk < 8, gk, ident))
+            delta = jnp.concatenate(parts, axis=0)
+            out_ref[0] = op_add(out_ref[0], delta)
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("op_mul", "op_add", "identity", "skip_inactive")
+)
+def s_cell_spmv_apply(fmt: SCellSpmv, x, op_mul, op_add, identity,
+                      skip_inactive=False):
+    """r = A x over (op_mul, op_add) with the S-table scatter kernel —
+    semantics identical to :func:`monoid_cell_spmv_apply`."""
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    ident = jnp.float32(identity)
+    x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
+    nwc = nwr // cwr
+    if skip_inactive:
+        act = jnp.any(
+            x2d.reshape(nwc, cwr * 128) != ident, axis=1
+        ).astype(jnp.int32)
+    else:
+        act = jnp.ones((nwc,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(fmt.n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cwr, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64, 128), lambda c, rb, fi, wb, ac: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cwr, 128), lambda c, rb, fi, wb, ac: (wb[c], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 128, 128), lambda c, rb, fi, wb, ac: (rb[c], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    fn = getattr(op_mul, "fn", op_mul)
+    add = getattr(op_add, "fn", op_add)
+
+    out = pl.pallas_call(
+        _make_s_kernel(fn, add, float(identity), cwr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks, 128, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_should_interpret(),
+    )(fmt.rb_of_tile, fmt.is_first, fmt.wb_of_tile, act,
+      fmt.vals, fmt.packed, fmt.route, fmt.invl, fmt.stab, x2d)
+    return out.reshape(-1)[: fmt.m]
+
+
+def get_s_format(A: CsrMatrix, cw: int = 16384):
+    """Cached S-table layout of A (None without the native packer)."""
+    if not _FORMAT_CACHE.contains(A.values, ("s2", cw)):
+        rows, cols, vals = host_coo(A)
+        m, n = A.shape
+        fmt = build_s_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
+        _FORMAT_CACHE.put(A.values, fmt, ("s2", cw))
+    return _FORMAT_CACHE.get(A.values, ("s2", cw))
+
+
+def get_structural_s_format(A: CsrMatrix, cw: int = 16384):
+    """S-table layout of A's PATTERN (values 1.0f) for structural BFS."""
+    if not _FORMAT_CACHE.contains(A.values, ("s2s", cw)):
+        rows, cols, vals = host_coo(A, pattern=True)
+        m, n = A.shape
+        fmt = build_s_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
+        _FORMAT_CACHE.put(A.values, fmt, ("s2s", cw))
+    return _FORMAT_CACHE.get(A.values, ("s2s", cw))
+
+
 def get_structural_monoid_format(A: CsrMatrix, cw: int = 16384):
     """Monoid-mode layout of A's PATTERN (values 1.0f) for structural
     traversal (BFS); None without the native packer."""
@@ -795,6 +986,108 @@ def get_structural_monoid_format(A: CsrMatrix, cw: int = 16384):
         fmt = build_monoid_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
         _FORMAT_CACHE.put(A.values, fmt, ("ms", cw))
     return _FORMAT_CACHE.get(A.values, ("ms", cw))
+
+
+# -- integer semirings via exact f32 embedding ------------------------------
+#
+# The reference makes every CL kernel type-generic by runtime codegen
+# (``cl_program_builder.cpp:65-120``).  The TPU kernel is f32; int32/uint32
+# semirings run through an EXACT f32 embedding: every integer with
+# |v| < 2^24 is represented exactly in f32, and the embedding commutes
+# with the semiring ops as long as no intermediate leaves that range.
+# The gates below are conservative:
+#   * |A values| and |init| < 2^23 (host-checked once, cached),
+#   * op_mul from a set whose result magnitude is bounded by the operand
+#     magnitudes (or their sum), so products stay < 2^24,
+#   * |x| < 2^23, checked per eager call (inside a trace we cannot check,
+#     so traced calls fall back to the XLA path).
+
+# muls whose f32 evaluation coincides with the int op on exact-f32 inputs
+# (bitwise BOR/BAND etc. do NOT — they stay on the XLA path)
+_INT_SAFE_MULS = {"MULT", "FIRST", "SECOND", "MIN", "MAX", "PLUS"}
+_INT_LIM = float(1 << 23)
+
+
+def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
+    """Pallas path for int32/uint32 semirings via the exact f32 embedding;
+    returns f(A, x) -> int vector, or None when a gate fails."""
+    kind = getattr(op_add, "scatter", None)
+    if kind not in _SCATTER_MONOIDS:
+        return None
+    if A.values.dtype not in (jnp.int32, jnp.uint32):
+        return None
+    mul_name = "MULT" if op_mul is None else getattr(op_mul, "name", None)
+    if mul_name not in _INT_SAFE_MULS:
+        return None
+    out_dtype = A.values.dtype
+    try:
+        init_i = int(np.asarray(init if not hasattr(init, "value") else init.value))
+    except Exception:
+        return None
+    if abs(init_i) >= _INT_LIM:
+        return None
+
+    ok = _FORMAT_CACHE.get(A.values, ("int_ok",))
+    if ok is None:
+        rows, cols, vals = host_coo(A)
+        vmax = float(np.abs(vals.astype(np.int64)).max(initial=0))
+        ok = vmax < _INT_LIM
+        _FORMAT_CACHE.put(A.values, ok, ("int_ok",))
+    if not ok:
+        return None
+
+    combine, identity = _SCATTER_MONOIDS[kind]
+    fmt = _FORMAT_CACHE.get(A.values, ("int_fmt",))
+    if fmt is None:
+        rows, cols, vals = host_coo(A)
+        m, n = A.shape
+        fmt = build_s_cell_spmv_arrays(
+            m, n, rows, cols, vals.astype(np.float32)
+        )
+        _FORMAT_CACHE.put(A.values, fmt, ("int_fmt",))
+    if fmt is None:
+        return None
+
+    raw_mul = _default_mult if op_mul is None else getattr(op_mul, "fn", op_mul)
+    init_f = jnp.float32(init_i)
+
+    def fn(A_, x, fmt=fmt, mul=raw_mul):
+        if isinstance(x, jax.core.Tracer):
+            # inside a trace the |x| gate cannot be evaluated; stay exact
+            from ..ops.spmv import masked_spmv
+
+            out, _ = masked_spmv(A_, x, mul, op_add, init)
+            return out
+        if float(jnp.max(jnp.abs(x.astype(jnp.float32)))) >= _INT_LIM:
+            from ..ops.spmv import masked_spmv
+
+            out, _ = masked_spmv(A_, x, mul, op_add, init)
+            return out
+        r = s_cell_spmv_apply(fmt, x.astype(jnp.float32), op_mul=mul,
+                              op_add=combine, identity=identity)
+        if kind == "add":
+            r = r + init_f
+        else:
+            r = combine(r, jnp.broadcast_to(init_f, r.shape))
+        return jnp.round(r).astype(out_dtype)
+
+    return fn
+
+
+def get_best_monoid_format(A: CsrMatrix, structural: bool = False,
+                           cw: int = 16384):
+    """(format, apply_fn) for the fastest available any-monoid kernel:
+    S-table scatter when the mode-2 packer is available, else the mode-1
+    compare-select sweep, else (None, None)."""
+    fmt = (get_structural_s_format if structural else get_s_format)(A, cw)
+    if fmt is not None:
+        return fmt, s_cell_spmv_apply
+    fmt = (
+        get_structural_monoid_format if structural else get_monoid_format
+    )(A, cw)
+    if fmt is not None:
+        return fmt, monoid_cell_spmv_apply
+    return None, None
 
 
 def get_monoid_format(A: CsrMatrix, cw: int = 16384):

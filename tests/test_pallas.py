@@ -226,3 +226,217 @@ def test_monoid_packing_dense_cells():
         coo.data, cw=1024,
     )
     assert fmt.slots / fmt.nnz < 1.6
+
+
+def test_s_cell_spmv_plus_times():
+    # S-table scatter (round-2 kernel): plus-times vs scipy
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_s_cell_spmv_arrays, s_cell_spmv_apply
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    n = 900
+    a = sp.random(n, n, density=0.02, random_state=11, dtype=np.float32)
+    coo = a.tocoo()
+    fmt = build_s_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32), coo.data,
+        cw=1024,
+    )
+    assert fmt is not None
+    x = rng.random(n, dtype=np.float32)
+    r = np.asarray(
+        s_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av * xv, op_add=jnp.add, identity=0.0,
+        )
+    )
+    np.testing.assert_allclose(r, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_s_cell_spmv_minplus():
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_s_cell_spmv_arrays, s_cell_spmv_apply
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(12)
+    n = 700
+    a = sp.random(n, n, density=0.03, random_state=12, dtype=np.float32)
+    a.data = (a.data * 5 + 0.1).astype(np.float32)
+    coo = a.tocoo()
+    fmt = build_s_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32), coo.data,
+        cw=1024,
+    )
+    x = rng.random(n, dtype=np.float32) * 3
+    r = np.asarray(
+        s_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av + xv, op_add=jnp.minimum,
+            identity=np.inf,
+        )
+    )
+    d = a.toarray()
+    ref = np.where(
+        (d != 0).any(axis=1),
+        np.where(d != 0, d + x[None, :], np.inf).min(axis=1),
+        np.inf,
+    )
+    np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_s_cell_spmv_duplicate_heavy_rows():
+    # rows with many in-window entries exercise the one-entry-per-row-per-
+    # tile constraint (entries must spread across tiles, none dropped)
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_s_cell_spmv_arrays, s_cell_spmv_apply
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(13)
+    n = 256
+    # one very heavy row + uniform background, all inside ONE window
+    rows = np.concatenate([np.zeros(200, np.int32),
+                           rng.integers(0, n, 500).astype(np.int32)])
+    cols = np.concatenate([rng.choice(n, 200, replace=False).astype(np.int32),
+                           rng.integers(0, n, 500).astype(np.int32)])
+    vals = rng.random(700).astype(np.float32) + 0.5
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    a.sum_duplicates()
+    coo = a.tocoo()
+    fmt = build_s_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        coo.data.astype(np.float32), cw=1024,
+    )
+    x = rng.random(n, dtype=np.float32)
+    r = np.asarray(
+        s_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av * xv, op_add=jnp.add, identity=0.0,
+        )
+    )
+    np.testing.assert_allclose(r, a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_s_cell_spmv_skip_inactive():
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_s_cell_spmv_arrays, s_cell_spmv_apply
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    n = 2048
+    a = sp.random(n, n, density=0.004, random_state=5, dtype=np.float32)
+    coo = a.tocoo()
+    fmt = build_s_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32), coo.data,
+        cw=1024,
+    )
+    x = np.zeros(n, np.float32)
+    x[37] = 2.0  # single-entry frontier: most windows inactive
+    r = np.asarray(
+        s_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av * xv, op_add=jnp.add, identity=0.0,
+            skip_inactive=True,
+        )
+    )
+    np.testing.assert_allclose(r, a @ x, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_mxmt_reduce_vs_dense():
+    # mask-parallel intersection kernel vs dense oracle
+    from spla_tpu.pallas.mxmt import pairs_available, pallas_mxmT_reduce
+
+    if not pairs_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(21)
+    n = 300
+    a = sp.random(n, n, density=0.05, random_state=21, dtype=np.float32)
+    a = a.tocsr(); a.sort_indices()
+    b = sp.random(n, n, density=0.06, random_state=22, dtype=np.float32)
+    b = b.tocsr(); b.sort_indices()
+    mask = sp.random(n, n, density=0.04, random_state=23, dtype=np.float32)
+    mcoo = mask.tocoo()
+    r = pallas_mxmT_reduce(
+        mcoo.row.astype(np.int32), mcoo.col.astype(np.int32),
+        a.indptr.astype(np.int32), a.indices.astype(np.int32),
+        a.data.astype(np.float32),
+        b.indptr.astype(np.int32), b.indices.astype(np.int32),
+        b.data.astype(np.float32),
+    )
+    dense = (a.toarray() @ b.toarray().T)
+    want = float(dense[mcoo.row, mcoo.col].sum())
+    np.testing.assert_allclose(r, want, rtol=1e-4)
+
+
+def test_pallas_mxmt_reduce_triangles():
+    # exact triangle counts vs the sequential oracle
+    from spla_tpu.algorithms import tc_naive
+    from spla_tpu.pallas.mxmt import pairs_available, pallas_mxmT_reduce
+
+    if not pairs_available():
+        pytest.skip("no native toolchain")
+    n = 400
+    g = sp.random(n, n, density=0.03, random_state=31, dtype=np.float32)
+    g = ((g + g.T) > 0).astype(np.float32)
+    g.setdiag(0)
+    g.eliminate_zeros()
+    g = g.tocsr(); g.sort_indices()
+    coo = g.tocoo()
+    ones = np.ones_like(g.data, np.float32)
+    r = pallas_mxmT_reduce(
+        coo.row.astype(np.int32), coo.col.astype(np.int32),
+        g.indptr.astype(np.int32), g.indices.astype(np.int32), ones,
+        g.indptr.astype(np.int32), g.indices.astype(np.int32), ones,
+    )
+    adj = [list(g.indices[g.indptr[i]:g.indptr[i + 1]]) for i in range(n)]
+    assert int(round(r)) == tc_naive(adj)
+
+
+def test_pallas_mxmt_heavy_rows():
+    # rows much longer than the chunk size K=8 exercise the staircase
+    from spla_tpu.pallas.mxmt import pairs_available, pallas_mxmT_reduce
+
+    if not pairs_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(41)
+    n = 200
+    d = (rng.random((n, n)) < 0.4).astype(np.float32)  # deg ~80 >> 8
+    a = sp.csr_matrix(d)
+    a.sort_indices()
+    mcoo = sp.csr_matrix(d).tocoo()
+    r = pallas_mxmT_reduce(
+        mcoo.row.astype(np.int32), mcoo.col.astype(np.int32),
+        a.indptr.astype(np.int32), a.indices.astype(np.int32),
+        a.data.astype(np.float32),
+        a.indptr.astype(np.int32), a.indices.astype(np.int32),
+        a.data.astype(np.float32),
+    )
+    dd = d @ d.T
+    want = float(dd[mcoo.row, mcoo.col].sum())
+    np.testing.assert_allclose(r, want, rtol=1e-4)
+
+
+def test_pallas_mxmt_job_partials_segments():
+    from spla_tpu.pallas.mxmt import pairs_available, pallas_mxmT_job_partials
+
+    if not pairs_available():
+        pytest.skip("no native toolchain")
+    n = 150
+    a = sp.random(n, n, density=0.08, random_state=51, dtype=np.float32)
+    a = a.tocsr(); a.sort_indices()
+    mcoo = sp.random(n, n, density=0.05, random_state=52).tocoo()
+    out = pallas_mxmT_job_partials(
+        mcoo.row.astype(np.int32), mcoo.col.astype(np.int32),
+        a.indptr.astype(np.int32), a.indices.astype(np.int32),
+        a.data.astype(np.float32),
+        a.indptr.astype(np.int32), a.indices.astype(np.int32),
+        a.data.astype(np.float32),
+    )
+    partials, seg, njr = out
+    r_vals = np.zeros(mcoo.nnz, np.float64)
+    np.add.at(r_vals, seg[:njr], np.asarray(partials)[:njr])
+    dense = a.toarray() @ a.toarray().T
+    want = dense[mcoo.row, mcoo.col]
+    np.testing.assert_allclose(r_vals, want, rtol=1e-4, atol=1e-5)
