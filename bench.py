@@ -44,8 +44,10 @@ def main():
 
     from spla_tpu.pallas.spmv import (
         build_cell_spmv_arrays,
+        build_fused_cell_spmv_arrays,
         build_monoid_cell_spmv_arrays,
         cell_spmv_apply,
+        fused_cell_spmv_apply,
         monoid_cell_spmv_apply,
     )
 
@@ -56,12 +58,15 @@ def main():
     x = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
 
     t0 = time.perf_counter()
-    fmt = build_monoid_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
+    fmt = build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
+    if fmt is None:
+        fmt = build_monoid_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
     if fmt is None:  # no native toolchain: MXU bf16x3 kernel
         fmt = build_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
-    jax.block_until_ready(fmt.vals)
+    jax.block_until_ready(getattr(fmt, "fused", getattr(fmt, "vals", None)))
     build_s = time.perf_counter() - t0
-    monoid = hasattr(fmt, "invl")
+    kind = ("fused" if hasattr(fmt, "fused")
+            else "monoid" if hasattr(fmt, "invl") else "mxu")
 
     def _mult(av, xv):
         return av * xv
@@ -72,7 +77,10 @@ def main():
     # elision/memoization can hide device time.
     @jax.jit
     def step(fmt, y, k):
-        if monoid:
+        if kind == "fused":
+            o = fused_cell_spmv_apply(fmt, y, op_mul=_mult, op_add=jnp.add,
+                                      identity=0.0)
+        elif kind == "monoid":
             o = monoid_cell_spmv_apply(fmt, y, op_mul=_mult, op_add=jnp.add,
                                        identity=0.0)
         else:

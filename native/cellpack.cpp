@@ -39,12 +39,23 @@ struct Pack {
     int32_t* first = nullptr;  // [n_tiles]
     int8_t* invl = nullptr;    // [n_tiles * 8 * 128] (modes 1/2)
     int8_t* stab = nullptr;    // [n_tiles * 64 * 128] nibble S-table (mode 2)
+    int32_t* fused = nullptr;  // [n_tiles * 28 * 128] fused layout (mode 3)
     ~Pack() {
         std::free(vals); std::free(pk); std::free(route);
         std::free(rb); std::free(wb); std::free(first); std::free(invl);
-        std::free(stab);
+        std::free(stab); std::free(fused);
     }
 };
+
+// mode-3 fused tile layout, int32 words [28][128] per tile:
+//   rows  0..7  : f32 values (bit pattern), slot (s, lane)
+//   rows  8..9  : per-slot w-byte, byte s%4 of word [8 + s/4][lane]:
+//                 bits 0-6 = w7 = (col % cw) >> 7, bit 7 = valid
+//   rows 10..11 : invl byte, byte s%4 of word [10 + s/4][OUT-L]:
+//                 slot lane of the sublane-s entry with that output l
+//   rows 12..27 : S-table nibbles, nibble g%8 of word [12 + g/8][OUT-L]:
+//                 sublane holding the entry for output cell (g, l); 0xF = none
+constexpr int64_t FROWS = 28;
 
 // per-open-tile scratch during packing of one cell
 struct OpenTile {
@@ -72,6 +83,222 @@ extern "C" {
 //         scatter then collapses to depth-8 sublane gathers indexed by S
 //         (one VPU gather per 8 output rows) instead of the 8-step
 //         128x128 compare-select sweep — the round-1 bottleneck.
+// mode 3: fused routeless layout — slot lane is FIXED at b = col % 128
+//         (no routing table; the kernel gathers straight from the window
+//         column = lane), sublane chosen so that each sublane row's output
+//         l values are distinct and each output row appears at most once
+//         per tile.  Cells are iterated WINDOW-major (w outer, row block
+//         inner) for the resident-output kernel, each window's tile count
+//         padded to a multiple of `batch` with all-invalid tiles so a
+//         K-tile grid batch never straddles a window boundary.
+static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
+                            const int32_t* rows, const int32_t* cols,
+                            const float* vals, int64_t batch);
+
+void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
+                   const int32_t* rows, const int32_t* cols,
+                   const float* vals, int32_t mode);
+
+void* cellpack_run2(int64_t nnz, int64_t m, int64_t n, int64_t cw,
+                    const int32_t* rows, const int32_t* cols,
+                    const float* vals, int32_t mode, int64_t batch) {
+    if (mode == 3) return cellpack_mode3(nnz, m, n, cw, rows, cols, vals, batch);
+    return cellpack_run(nnz, m, n, cw, rows, cols, vals, mode);
+}
+
+static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
+                            const int32_t* rows, const int32_t* cols,
+                            const float* vals, int64_t batch) {
+    const int64_t n_rb = (m + ROW_BLOCK - 1) / ROW_BLOCK > 0
+                             ? (m + ROW_BLOCK - 1) / ROW_BLOCK
+                             : 1;
+    const int64_t nwc = (n + cw - 1) / cw > 0 ? (n + cw - 1) / cw : 1;
+    const int64_t n_cells = n_rb * nwc;
+    if (batch < 1) batch = 1;
+
+    Pack* out = new (std::nothrow) Pack();
+    if (!out) return nullptr;
+
+    // pass 1: counting sort by cell (row-block-major cell ids, iterated
+    // window-major below)
+    std::vector<int64_t> cell_count(n_cells + 1, 0);
+    for (int64_t i = 0; i < nnz; ++i) {
+        const int64_t cell =
+            (int64_t)(rows[i] >> 14) * nwc + (int64_t)cols[i] / cw;
+        ++cell_count[cell + 1];
+    }
+    for (int64_t c = 0; c < n_cells; ++c) cell_count[c + 1] += cell_count[c];
+    std::vector<int64_t> order(nnz);
+    {
+        std::vector<int64_t> cur(cell_count.begin(), cell_count.end() - 1);
+        for (int64_t i = 0; i < nnz; ++i) {
+            const int64_t cell =
+                (int64_t)(rows[i] >> 14) * nwc + (int64_t)cols[i] / cw;
+            order[cur[cell]++] = i;
+        }
+    }
+
+    int64_t alloc = 0;
+    auto grow = [&](int64_t need) -> bool {
+        if (need <= alloc && out->fused) return true;
+        int64_t na = alloc ? alloc : 4096;
+        while (na < need) na *= 2;
+        void* v;
+        v = std::realloc(out->fused, na * FROWS * 128 * sizeof(int32_t));
+        if (!v) return false; out->fused = (int32_t*)v;
+        v = std::realloc(out->rb, na * sizeof(int32_t));
+        if (!v) return false; out->rb = (int32_t*)v;
+        v = std::realloc(out->wb, na * sizeof(int32_t));
+        if (!v) return false; out->wb = (int32_t*)v;
+        alloc = na;
+        return true;
+    };
+
+    OpenTile tiles[PROBE_TILES];
+    std::vector<int64_t> row_stamp((size_t)PROBE_TILES * ROW_BLOCK, -1);
+
+    int64_t t_next = 0;
+    auto init_tile_words = [&](int64_t tid, int64_t w) {
+        int32_t* f = out->fused + tid * FROWS * 128;
+        std::memset(f, 0, (size_t)12 * 128 * sizeof(int32_t));       // vals+w
+        std::memset(f + 10 * 128, 0xFF, (size_t)2 * 128 * sizeof(int32_t));
+        std::memset(f + 12 * 128, 0xFF, (size_t)16 * 128 * sizeof(int32_t));
+        out->rb[tid] = 0;
+        out->wb[tid] = (int32_t)w;
+    };
+    auto open_tile = [&](int slot, int64_t cell) -> bool {
+        if (!grow(t_next + 1)) return false;
+        OpenTile& t = tiles[slot];
+        t.id = t_next++;
+        std::memset(t.slot_taken, 0, sizeof(t.slot_taken));
+        std::memset(t.l_used, 0, sizeof(t.l_used));
+        t.used = 0;
+        init_tile_words(t.id, cell % nwc);
+        out->rb[t.id] = (int32_t)(cell / nwc);
+        return true;
+    };
+
+    std::vector<std::pair<int32_t, int64_t>> deal;
+    int32_t l_counter[128], b_counter[128];
+
+    for (int64_t w = 0; w < nwc; ++w) {
+        for (int64_t rbi = 0; rbi < n_rb; ++rbi) {
+            const int64_t cell = rbi * nwc + w;
+            const int64_t lo = cell_count[cell], hi = cell_count[cell + 1];
+            if (lo == hi) continue;
+            if (hi - lo > 1) {
+                // deal order: key = max(rank within lane class b, rank
+                // within output-l class) — fills each tile's lane slots and
+                // l slots evenly, reaching the per-lane occupancy floor
+                std::memset(l_counter, 0, sizeof(l_counter));
+                std::memset(b_counter, 0, sizeof(b_counter));
+                deal.clear();
+                deal.reserve(hi - lo);
+                for (int64_t q = lo; q < hi; ++q) {
+                    const int64_t e = order[q];
+                    const int l = rows[e] & 127;
+                    const int b = cols[e] & 127;
+                    const int32_t key = std::max(l_counter[l]++, b_counter[b]++);
+                    deal.emplace_back(key, e);
+                }
+                std::stable_sort(deal.begin(), deal.end(),
+                                 [](const auto& a, const auto& b) {
+                                     return a.first < b.first;
+                                 });
+                for (int64_t q = lo; q < hi; ++q)
+                    order[q] = deal[q - lo].second;
+            }
+            int n_open = 0, newest = -1;
+            for (int64_t q = lo; q < hi; ++q) {
+                const int64_t e = order[q];
+                const int32_t col = cols[e];
+                const int32_t row = rows[e];
+                const int32_t w7 = (int32_t)((col % cw) >> 7);
+                const int32_t b = col & 127;
+                const int32_t local = row & (ROW_BLOCK - 1);
+                const int32_t g = local >> 7, l = local & 127;
+
+                int placed_tile = -1, placed_sub = -1;
+                for (int k = 0; k < n_open && placed_tile < 0; ++k) {
+                    const int slot_k = (newest - k + PROBE_TILES) % PROBE_TILES;
+                    OpenTile& t = tiles[slot_k];
+                    if (t.used >= TILE) continue;
+                    if (row_stamp[(size_t)slot_k * ROW_BLOCK + local] == t.id)
+                        continue;
+                    for (int sb = 0; sb < 8; ++sb) {
+                        if (!t.slot_taken[sb][b] && !t.l_used[sb][l]) {
+                            placed_tile = slot_k;
+                            placed_sub = sb;
+                            break;
+                        }
+                    }
+                }
+                if (placed_tile < 0) {
+                    newest = (newest + 1) % PROBE_TILES;
+                    if (n_open < PROBE_TILES) ++n_open;
+                    if (!open_tile(newest, cell)) { delete out; return nullptr; }
+                    placed_tile = newest;
+                    placed_sub = 0;
+                }
+                OpenTile& t = tiles[placed_tile];
+                const int sub = placed_sub;
+                t.slot_taken[sub][b] = 1;
+                t.l_used[sub][l] = 1;
+                ++t.used;
+                row_stamp[(size_t)placed_tile * ROW_BLOCK + local] = t.id;
+                int32_t* f = out->fused + t.id * FROWS * 128;
+                int32_t vbits;
+                std::memcpy(&vbits, &vals[e], 4);
+                f[sub * 128 + b] = vbits;
+                const int sh8 = 8 * (sub & 3);
+                int32_t* ww = f + (8 + (sub >> 2)) * 128 + b;
+                *ww = (*ww & ~(0xFF << sh8)) | ((w7 | 0x80) << sh8);
+                int32_t* iw = f + (10 + (sub >> 2)) * 128 + l;
+                *iw = (*iw & ~(0xFF << sh8)) | (b << sh8);
+                const int sh4 = 4 * (g & 7);
+                int32_t* sw = f + (12 + (g >> 3)) * 128 + l;
+                *sw = (*sw & ~(0xF << sh4)) | (sub << sh4);
+            }
+        }
+        // pad this window's tile count to a multiple of `batch`
+        while (t_next % batch) {
+            if (!grow(t_next + 1)) { delete out; return nullptr; }
+            init_tile_words(t_next, w);
+            ++t_next;
+        }
+    }
+    if (t_next == 0) {  // fully empty matrix: one all-invalid batch
+        for (int64_t j = 0; j < batch; ++j) {
+            if (!grow(t_next + 1)) { delete out; return nullptr; }
+            init_tile_words(t_next, 0);
+            ++t_next;
+        }
+    }
+
+    // resolve invl sentinels (0xFF): point absent output-l slots at a lane
+    // whose slot in that sublane row is INVALID (its product is identity);
+    // a full sublane row has no sentinels left, so a fallback always exists
+    for (int64_t t = 0; t < t_next; ++t) {
+        int32_t* f = out->fused + t * FROWS * 128;
+        for (int s = 0; s < 8; ++s) {
+            const int sh8 = 8 * (s & 3);
+            const int32_t* ww = f + (8 + (s >> 2)) * 128;
+            int fallback = -1;
+            for (int lane = 0; lane < 128; ++lane) {
+                if (!((ww[lane] >> sh8) & 0x80)) { fallback = lane; break; }
+            }
+            if (fallback < 0) continue;
+            int32_t* iw = f + (10 + (s >> 2)) * 128;
+            for (int l = 0; l < 128; ++l) {
+                if (((iw[l] >> sh8) & 0xFF) == 0xFF)
+                    iw[l] = (iw[l] & ~(0xFF << sh8)) | (fallback << sh8);
+            }
+        }
+    }
+    out->n_tiles = t_next;
+    return out;
+}
+
 void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                    const int32_t* rows, const int32_t* cols,
                    const float* vals, int32_t mode) {
@@ -334,6 +561,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 
 int8_t* cellpack_invl(void* h) { return ((Pack*)h)->invl; }
 int8_t* cellpack_stab(void* h) { return ((Pack*)h)->stab; }
+int32_t* cellpack_fused(void* h) { return ((Pack*)h)->fused; }
 
 int64_t cellpack_n_tiles(void* h) { return ((Pack*)h)->n_tiles; }
 float* cellpack_vals(void* h) { return ((Pack*)h)->vals; }

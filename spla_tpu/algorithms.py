@@ -93,14 +93,18 @@ def _structural_or(av, xv):
 
 
 def _monoid_apply(fmt):
-    """Pick the apply fn matching the format type (S-table scatter when
-    the mode-2 packer produced one, else the mode-1 sweep)."""
+    """Pick the apply fn matching the format type (fused routeless, S-table
+    scatter, or the mode-1 sweep)."""
     from .pallas.spmv import (
+        FusedCellSpmv,
         SCellSpmv,
+        fused_cell_spmv_apply,
         monoid_cell_spmv_apply,
         s_cell_spmv_apply,
     )
 
+    if isinstance(fmt, FusedCellSpmv):
+        return fused_cell_spmv_apply
     return s_cell_spmv_apply if isinstance(fmt, SCellSpmv) else monoid_cell_spmv_apply
 
 

@@ -47,6 +47,8 @@ def _native_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
         ]
+        lib.cellpack_run2.restype = ctypes.c_void_p
+        lib.cellpack_run2.argtypes = lib.cellpack_run.argtypes + [ctypes.c_int64]
         lib.cellpack_n_tiles.restype = ctypes.c_int64
         lib.cellpack_n_tiles.argtypes = [ctypes.c_void_p]
         for name, ct in (
@@ -58,6 +60,7 @@ def _native_lib():
             ("cellpack_first", ctypes.c_int32),
             ("cellpack_invl", ctypes.c_int8),
             ("cellpack_stab", ctypes.c_int8),
+            ("cellpack_fused", ctypes.c_int32),
         ):
             getattr(lib, name).restype = ctypes.POINTER(ct)
             getattr(lib, name).argtypes = [ctypes.c_void_p]
@@ -79,26 +82,32 @@ def _cache_dir():
     return d
 
 
-def _cache_key(m, n, cw, rows, cols, vals, mode):
+def _cache_key(m, n, cw, rows, cols, vals, mode, batch=1):
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(np.asarray([m, n, cw, mode], np.int64).tobytes())
+    h.update(np.asarray([m, n, cw, mode, batch], np.int64).tobytes())
     h.update(rows.tobytes())
     h.update(cols.tobytes())
     h.update(vals.tobytes())
     return h.hexdigest()
 
 
+def _cache_names(mode):
+    if mode == 3:
+        return ["nt", "fused", "rb", "wb"]
+    names = ["nt", "t_vals", "t_pk", "t_route", "rb", "wb", "first"]
+    if mode >= 1:
+        names.append("invl")
+    if mode == 2:
+        names.append("stab")
+    return names
+
+
 def _cache_load(path, mode):
     try:
         with np.load(path) as z:
-            out = [int(z["nt"]), z["t_vals"], z["t_pk"], z["t_route"],
-                   z["rb"], z["wb"], z["first"]]
-            if mode >= 1:
-                out.append(z["invl"])
-            if mode == 2:
-                out.append(z["stab"])
+            out = [int(z["nt"])] + [z[k] for k in _cache_names(mode)[1:]]
         return tuple(out)
     except Exception:
         return None
@@ -107,20 +116,15 @@ def _cache_load(path, mode):
 def _cache_store(path, packed, mode):
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        names = ["nt", "t_vals", "t_pk", "t_route", "rb", "wb", "first"]
-        if mode >= 1:
-            names.append("invl")
-        if mode == 2:
-            names.append("stab")
         tmp = path + f".{os.getpid()}.tmp"
         with open(tmp, "wb") as f:  # file object: numpy won't append .npz
-            np.savez(f, **dict(zip(names, packed)))
+            np.savez(f, **dict(zip(_cache_names(mode), packed)))
         os.replace(tmp, path)
     except Exception:
         pass
 
 
-def native_pack(m, n, cw, rows, cols, vals, mode=0):
+def native_pack(m, n, cw, rows, cols, vals, mode=0, batch=1):
     """Returns (n_tiles, t_vals, t_pk, t_route, rb, wb, first[, invl])
     numpy arrays (copies — the native handle is released before returning)
     or None.  mode 0 = PLUS packing; mode 1 = monoid packing (adds the
@@ -140,23 +144,33 @@ def native_pack(m, n, cw, rows, cols, vals, mode=0):
     nnz = rows.size
     cache_path = None
     if nnz >= _CACHE_MIN_NNZ and not os.environ.get("SPLA_NO_PACK_CACHE"):
-        key = _cache_key(m, n, cw, rows, cols, vals, mode)
+        key = _cache_key(m, n, cw, rows, cols, vals, mode, batch)
         cache_path = os.path.join(_cache_dir(), f"cellpack-{key}.npz")
         if os.path.exists(cache_path):
             hit = _cache_load(cache_path, mode)
             if hit is not None:
                 return hit
-    h = lib.cellpack_run(
+    h = lib.cellpack_run2(
         nnz, m, n, cw,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), mode,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), mode, batch,
     )
     if not h:
         return None
     try:
         nt = lib.cellpack_n_tiles(h)
         cwr = cw // 128
+        if mode == 3:
+            fused = np.ctypeslib.as_array(
+                lib.cellpack_fused(h), shape=(nt, 28, 128)
+            ).copy()
+            rb = np.ctypeslib.as_array(lib.cellpack_rb(h), shape=(nt,)).copy()
+            wb = np.ctypeslib.as_array(lib.cellpack_wb(h), shape=(nt,)).copy()
+            out = (nt, fused, rb, wb)
+            if cache_path is not None:
+                _cache_store(cache_path, out, mode)
+            return out
         t_vals = np.ctypeslib.as_array(lib.cellpack_vals(h), shape=(nt, 8, 128)).copy()
         t_pk = np.ctypeslib.as_array(lib.cellpack_pk(h), shape=(nt, 8, 128)).copy()
         t_route = np.ctypeslib.as_array(

@@ -64,11 +64,14 @@ from ..containers import CsrMatrix
 __all__ = [
     "CellSpmv",
     "SCellSpmv",
+    "FusedCellSpmv",
     "build_cell_spmv",
     "build_cell_spmv_arrays",
     "build_s_cell_spmv_arrays",
+    "build_fused_cell_spmv_arrays",
     "cell_spmv_apply",
     "s_cell_spmv_apply",
+    "fused_cell_spmv_apply",
     "get_best_monoid_format",
     "pallas_spmv_fn",
 ]
@@ -583,11 +586,7 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
         mul = getattr(op_mul, "fn", op_mul)
     init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
 
-    fmtM = get_s_format(A)
-    apply_fn = s_cell_spmv_apply
-    if fmtM is None:
-        fmtM = get_monoid_format(A)
-        apply_fn = monoid_cell_spmv_apply
+    fmtM, apply_fn = get_best_monoid_format(A)
     # skewed graphs (heavy rows) pad badly under the l-distinct monoid
     # packing; for PLUS the denser MXU layout wins past ~2x the PLUS pad
     if (
@@ -1037,16 +1036,22 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
         return None
 
     combine, identity = _SCATTER_MONOIDS[kind]
-    fmt = _FORMAT_CACHE.get(A.values, ("int_fmt",))
-    if fmt is None:
+    if not _FORMAT_CACHE.contains(A.values, ("int_fmt",)):
         rows, cols, vals = host_coo(A)
         m, n = A.shape
-        fmt = build_s_cell_spmv_arrays(
+        fmt = build_fused_cell_spmv_arrays(
             m, n, rows, cols, vals.astype(np.float32)
         )
+        if fmt is None:
+            fmt = build_s_cell_spmv_arrays(
+                m, n, rows, cols, vals.astype(np.float32)
+            )
         _FORMAT_CACHE.put(A.values, fmt, ("int_fmt",))
+    fmt = _FORMAT_CACHE.get(A.values, ("int_fmt",))
     if fmt is None:
         return None
+    int_apply = (fused_cell_spmv_apply if isinstance(fmt, FusedCellSpmv)
+                 else s_cell_spmv_apply)
 
     raw_mul = _default_mult if op_mul is None else getattr(op_mul, "fn", op_mul)
     init_f = jnp.float32(init_i)
@@ -1063,8 +1068,8 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
 
             out, _ = masked_spmv(A_, x, mul, op_add, init)
             return out
-        r = s_cell_spmv_apply(fmt, x.astype(jnp.float32), op_mul=mul,
-                              op_add=combine, identity=identity)
+        r = int_apply(fmt, x.astype(jnp.float32), op_mul=mul,
+                      op_add=combine, identity=identity)
         if kind == "add":
             r = r + init_f
         else:
@@ -1074,11 +1079,205 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Fused routeless variant (round-2 redesign from the measured cost model):
+# the round-1 kernels spent ~70% of their time on per-grid-step pipeline
+# overhead and block streaming (measured 277 of 392 ns/tile with ALL compute
+# ablated away), not on VPU work.  This kernel attacks exactly that:
+#
+#   * ONE fused input block per tile (28 x 128 int32 = 14 KB: f32 values,
+#     w-bytes, inverse-lane bytes, S-table nibbles) instead of five —
+#     and no routing table at all: the packer pins slot lane = col % 128,
+#     so the gather is the 16-step depth-8 sublane select alone (the
+#     (128,128) lane shuffle measured 45 ns/tile is gone, and 16 KB/tile
+#     of route stream with it);
+#   * K=16 tiles per grid step (the ~190 ns fixed per-step cost amortizes
+#     to ~12 ns/tile — measured on hardware with a streaming-only probe);
+#   * the OUTPUT lives whole in VMEM across the grid (n_rb * 64 KB, fits
+#     to m = 16M rows) and cells are traversed window-major, so x streams
+#     exactly once per SpMV instead of once per (row block, window) cell.
+#
+# Reference role: ``kernels/mxv.cl:44-81`` (pull SpMV).
+# ---------------------------------------------------------------------------
+
+FUSED_K = 16  # tiles per grid step; the packer pads windows to multiples
+FUSED_MAX_RB = 1024  # resident output cap: 1024 row blocks = 64 MB VMEM
+
+
+@dataclass(frozen=True)
+class FusedCellSpmv:
+    m: int
+    n: int
+    cw: int
+    n_row_blocks: int
+    n_tiles: int  # multiple of FUSED_K
+    fused: jax.Array  # [T, 28, 128] int32 (see native/cellpack.cpp FROWS)
+    rb_of_tile: jax.Array  # [T] int32
+    wb_of_batch: jax.Array  # [T // FUSED_K] int32
+    slots: int
+    nnz: int
+
+
+jax.tree_util.register_dataclass(
+    FusedCellSpmv,
+    data_fields=["fused", "rb_of_tile", "wb_of_batch"],
+    meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz"],
+)
+
+
+def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384):
+    """Fused routeless cell layout (packer mode=3); None without the native
+    packer or when the output exceeds the resident-VMEM cap."""
+    from .cellpack_native import native_pack
+
+    assert cw % 1024 == 0 and 1024 <= cw <= 16384, cw
+    n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
+    if n_rb > FUSED_MAX_RB:
+        return None
+    nnz = int(np.asarray(rows).shape[0])
+    packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
+                         np.asarray(vals), mode=3, batch=FUSED_K)
+    if packed is None:
+        return None
+    nt, fused, rb_t, wb_t = packed
+    return FusedCellSpmv(
+        m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
+        fused=jnp.asarray(fused),
+        rb_of_tile=jnp.asarray(rb_t),
+        wb_of_batch=jnp.asarray(wb_t[::FUSED_K].copy()),
+        slots=int(nt) * TILE, nnz=nnz,
+    )
+
+
+def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb):
+    def kernel(rb_ref, wb_ref, act_ref, f_ref, x_ref, out_ref):
+        c = pl.program_id(0)
+        ident = jnp.float32(identity)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, ident)
+
+        @pl.when(act_ref[wb_ref[c]] == 1)
+        def _():
+            siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            sh8 = (siota % 4) * 8
+            sh4 = siota * 4
+            for j in range(FUSED_K):
+                w_words = f_ref[j, 8:10]
+                wrep = jnp.concatenate(
+                    [w_words[0:1]] * 4 + [w_words[1:2]] * 4, axis=0)
+                wbyte = (wrep >> sh8) & 0xFF
+                valid = (wbyte & 0x80) != 0
+                w7 = wbyte & 0x7F
+                r3 = w7 & 7
+                m4 = w7 >> 3
+                # routeless gather: slot lane IS the source column % 128,
+                # so only the w (window row) dimension needs resolving
+                xg = jnp.zeros((8, 128), jnp.float32)
+                for q in range(cwr // 8):
+                    cand = jnp.take_along_axis(x_ref[8 * q: 8 * q + 8], r3,
+                                               axis=0)
+                    xg = jnp.where(m4 == q, cand, xg)
+                vals = lax.bitcast_convert_type(f_ref[j, 0:8], jnp.float32)
+                prod = op_mul(vals, xg)
+                prod = jnp.where(valid, prod, ident)
+                i_words = f_ref[j, 10:12]
+                irep = jnp.concatenate(
+                    [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
+                inv = (irep >> sh8) & 0xFF
+                psort = jnp.take_along_axis(prod, inv, axis=1)
+                # S-table scatter: nibble g%8 of word 12+g//8 picks the
+                # sublane holding output cell (g, l); 0xF = absent
+                parts = []
+                for q in range(16):
+                    sw = jnp.broadcast_to(f_ref[j, 12 + q: 13 + q], (8, 128))
+                    sk = (sw >> sh4) & 0xF
+                    gk = jnp.take_along_axis(psort, jnp.minimum(sk, 7), axis=0)
+                    parts.append(jnp.where(sk < 8, gk, ident))
+                delta = jnp.concatenate(parts, axis=0)
+                g0 = rb_ref[c * FUSED_K + j] * 128
+                out_ref[pl.ds(g0, 128)] = op_add(out_ref[pl.ds(g0, 128)], delta)
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("op_mul", "op_add", "identity", "skip_inactive")
+)
+def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
+                          skip_inactive=False):
+    """r = A x over (op_mul, op_add) with the fused routeless kernel —
+    semantics identical to :func:`monoid_cell_spmv_apply`."""
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    ident = jnp.float32(identity)
+    x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
+    nwc = nwr // cwr
+    if skip_inactive:
+        act = jnp.any(
+            x2d.reshape(nwc, cwr * 128) != ident, axis=1
+        ).astype(jnp.int32)
+    else:
+        act = jnp.ones((nwc,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # rb_of_tile, wb_of_batch, act
+        grid=(fmt.n_tiles // FUSED_K,),
+        in_specs=[
+            pl.BlockSpec((FUSED_K, 28, 128), lambda c, rb, wb, ac: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cwr, 128), lambda c, rb, wb, ac: (wb[c], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (fmt.n_row_blocks * 128, 128), lambda c, rb, wb, ac: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    fn = getattr(op_mul, "fn", op_mul)
+    add = getattr(op_add, "fn", op_add)
+    out = pl.pallas_call(
+        _make_fused_kernel(fn, add, float(identity), cwr, fmt.n_row_blocks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks * 128, 128),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_should_interpret(),
+    )(fmt.rb_of_tile, fmt.wb_of_batch, act, fmt.fused, x2d)
+    return out.reshape(-1)[: fmt.m]
+
+
+def get_fused_format(A: CsrMatrix, cw: int = 16384):
+    """Cached fused routeless layout of A (None without the native packer
+    or past the resident-output cap)."""
+    if not _FORMAT_CACHE.contains(A.values, ("f", cw)):
+        rows, cols, vals = host_coo(A)
+        m, n = A.shape
+        fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
+        _FORMAT_CACHE.put(A.values, fmt, ("f", cw))
+    return _FORMAT_CACHE.get(A.values, ("f", cw))
+
+
+def get_structural_fused_format(A: CsrMatrix, cw: int = 16384):
+    """Fused layout of A's PATTERN (values 1.0f) for structural BFS."""
+    if not _FORMAT_CACHE.contains(A.values, ("ffs", cw)):
+        rows, cols, vals = host_coo(A, pattern=True)
+        m, n = A.shape
+        fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
+        _FORMAT_CACHE.put(A.values, fmt, ("ffs", cw))
+    return _FORMAT_CACHE.get(A.values, ("ffs", cw))
+
+
 def get_best_monoid_format(A: CsrMatrix, structural: bool = False,
                            cw: int = 16384):
     """(format, apply_fn) for the fastest available any-monoid kernel:
-    S-table scatter when the mode-2 packer is available, else the mode-1
-    compare-select sweep, else (None, None)."""
+    fused routeless kernel first, then the S-table scatter, then the
+    mode-1 compare-select sweep, else (None, None)."""
+    fmt = (get_structural_fused_format if structural else get_fused_format)(
+        A, cw)
+    if fmt is not None:
+        return fmt, fused_cell_spmv_apply
     fmt = (get_structural_s_format if structural else get_s_format)(A, cw)
     if fmt is not None:
         return fmt, s_cell_spmv_apply

@@ -440,3 +440,121 @@ def test_pallas_mxmt_job_partials_segments():
     dense = a.toarray() @ a.toarray().T
     want = dense[mcoo.row, mcoo.col]
     np.testing.assert_allclose(r_vals, want, rtol=1e-4, atol=1e-5)
+
+
+# -- fused routeless kernel (round-2 redesign) ------------------------------
+
+
+def _fused_fmt(a, cw=1024):
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_fused_cell_spmv_arrays
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    coo = a.tocoo()
+    return build_fused_cell_spmv_arrays(
+        a.shape[0], a.shape[1], coo.row.astype(np.int32),
+        coo.col.astype(np.int32), coo.data.astype(np.float32), cw=cw,
+    )
+
+
+def test_fused_cell_spmv_plus_times():
+    from spla_tpu.pallas.spmv import fused_cell_spmv_apply
+
+    rng = np.random.default_rng(21)
+    n = 900
+    a = sp.random(n, n, density=0.02, random_state=21, dtype=np.float32)
+    fmt = _fused_fmt(a)
+    assert fmt is not None and fmt.n_tiles % 16 == 0
+    x = rng.random(n, dtype=np.float32)
+    r = np.asarray(
+        fused_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av * xv, op_add=jnp.add, identity=0.0,
+        )
+    )
+    np.testing.assert_allclose(r, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_cell_spmv_minplus_inf_fill():
+    from spla_tpu.pallas.spmv import fused_cell_spmv_apply
+
+    rng = np.random.default_rng(22)
+    n = 700
+    a = sp.random(n, n, density=0.03, random_state=22, dtype=np.float32)
+    a.data = (a.data * 5 + 0.1).astype(np.float32)
+    fmt = _fused_fmt(a)
+    x = rng.random(n, dtype=np.float32) * 3
+    r = np.asarray(
+        fused_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av + xv, op_add=jnp.minimum,
+            identity=np.inf,
+        )
+    )
+    d = a.toarray()
+    ref = np.where(
+        (d != 0).any(axis=1),
+        np.where(d != 0, d + x[None, :], np.inf).min(axis=1),
+        np.inf,
+    )
+    np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_cell_spmv_heavy_rows_and_window_pad():
+    # a few rows with hundreds of same-window entries exercise the
+    # one-entry-per-row-per-tile constraint; n not a multiple of cw
+    # exercises the identity padding of the last window
+    from spla_tpu.pallas.spmv import fused_cell_spmv_apply
+
+    rng = np.random.default_rng(23)
+    n = 2100
+    rows = np.concatenate([
+        np.full(400, 7, np.int32),
+        np.full(300, 1900, np.int32),
+        rng.integers(0, n, 3000).astype(np.int32),
+    ])
+    cols = rng.integers(0, n, rows.size).astype(np.int32)
+    key = rows.astype(np.int64) * n + cols
+    _, keep = np.unique(key, return_index=True)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.random(rows.size, dtype=np.float32)
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    fmt = _fused_fmt(a)
+    x = rng.random(n, dtype=np.float32)
+    from spla_tpu.pallas.spmv import fused_cell_spmv_apply as ap
+    r = np.asarray(ap(fmt, jnp.asarray(x), op_mul=lambda av, xv: av * xv,
+                      op_add=jnp.add, identity=0.0))
+    np.testing.assert_allclose(r, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_cell_spmv_skip_inactive():
+    from spla_tpu.pallas.spmv import fused_cell_spmv_apply
+
+    rng = np.random.default_rng(24)
+    n = 3000
+    a = sp.random(n, n, density=0.01, random_state=24, dtype=np.float32)
+    fmt = _fused_fmt(a)
+    x = np.zeros(n, np.float32)
+    x[:700] = rng.random(700, dtype=np.float32)  # only window 0 active
+    r = np.asarray(
+        fused_cell_spmv_apply(
+            fmt, jnp.asarray(x),
+            op_mul=lambda av, xv: av * xv, op_add=jnp.add, identity=0.0,
+            skip_inactive=True,
+        )
+    )
+    np.testing.assert_allclose(r, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_best_monoid_format_prefers_fused():
+    from spla_tpu import formats as F2
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import FusedCellSpmv, get_best_monoid_format
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    a = sp.random(600, 600, density=0.02, random_state=25, dtype=np.float32)
+    A = F2.csr_from_scipy(a)
+    fmt, ap = get_best_monoid_format(A)
+    assert isinstance(fmt, FusedCellSpmv)
