@@ -1111,7 +1111,11 @@ class FusedCellSpmv:
     cw: int
     n_row_blocks: int
     n_tiles: int  # multiple of FUSED_K
-    fused: jax.Array  # [T, 28, 128] int32 (see native/cellpack.cpp FROWS)
+    # tile PAIRS: [T//2, 56, 128] int32 — two 28-row tiles per block row
+    # group so the leading block dim is a multiple of the (8, 128) physical
+    # vreg tile (28 rows alone get padded to 32 and break DMA alignment:
+    # measured 105 -> 56 ns/tile from this packing alone)
+    fused: jax.Array
     rb_of_tile: jax.Array  # [T] int32
     wb_of_batch: jax.Array  # [T // FUSED_K] int32
     slots: int
@@ -1142,7 +1146,7 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384):
     nt, fused, rb_t, wb_t = packed
     return FusedCellSpmv(
         m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
-        fused=jnp.asarray(fused),
+        fused=jnp.asarray(np.asarray(fused).reshape(nt // 2, 56, 128)),
         rb_of_tile=jnp.asarray(rb_t),
         wb_of_batch=jnp.asarray(wb_t[::FUSED_K].copy()),
         slots=int(nt) * TILE, nnz=nnz,
@@ -1164,7 +1168,12 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb):
             sh8 = (siota % 4) * 8
             sh4 = siota * 4
             for j in range(FUSED_K):
-                w_words = f_ref[j, 8:10]
+                base = (j % 2) * 28  # two 28-row tiles per fused block row
+
+                def fr(a, b, j=j, base=base):
+                    return f_ref[j // 2, base + a: base + b]
+
+                w_words = fr(8, 10)
                 wrep = jnp.concatenate(
                     [w_words[0:1]] * 4 + [w_words[1:2]] * 4, axis=0)
                 wbyte = (wrep >> sh8) & 0xFF
@@ -1179,10 +1188,10 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb):
                     cand = jnp.take_along_axis(x_ref[8 * q: 8 * q + 8], r3,
                                                axis=0)
                     xg = jnp.where(m4 == q, cand, xg)
-                vals = lax.bitcast_convert_type(f_ref[j, 0:8], jnp.float32)
+                vals = lax.bitcast_convert_type(fr(0, 8), jnp.float32)
                 prod = op_mul(vals, xg)
                 prod = jnp.where(valid, prod, ident)
-                i_words = f_ref[j, 10:12]
+                i_words = fr(10, 12)
                 irep = jnp.concatenate(
                     [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
                 inv = (irep >> sh8) & 0xFF
@@ -1191,7 +1200,7 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb):
                 # sublane holding output cell (g, l); 0xF = absent
                 parts = []
                 for q in range(16):
-                    sw = jnp.broadcast_to(f_ref[j, 12 + q: 13 + q], (8, 128))
+                    sw = jnp.broadcast_to(fr(12 + q, 13 + q), (8, 128))
                     sk = (sw >> sh4) & 0xF
                     gk = jnp.take_along_axis(psort, jnp.minimum(sk, 7), axis=0)
                     parts.append(jnp.where(sk < 8, gk, ident))
@@ -1224,7 +1233,8 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
         num_scalar_prefetch=3,  # rb_of_tile, wb_of_batch, act
         grid=(fmt.n_tiles // FUSED_K,),
         in_specs=[
-            pl.BlockSpec((FUSED_K, 28, 128), lambda c, rb, wb, ac: (c, 0, 0),
+            pl.BlockSpec((FUSED_K // 2, 56, 128),
+                         lambda c, rb, wb, ac: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cwr, 128), lambda c, rb, wb, ac: (wb[c], 0),
                          memory_space=pltpu.VMEM),
