@@ -93,7 +93,8 @@ extern "C" {
 //         K-tile grid batch never straddles a window boundary.
 static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                             const int32_t* rows, const int32_t* cols,
-                            const float* vals, int64_t batch);
+                            const float* vals, int64_t batch,
+                            bool two_choice);
 
 void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                    const int32_t* rows, const int32_t* cols,
@@ -102,13 +103,26 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 void* cellpack_run2(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                     const int32_t* rows, const int32_t* cols,
                     const float* vals, int32_t mode, int64_t batch) {
-    if (mode == 3) return cellpack_mode3(nnz, m, n, cw, rows, cols, vals, batch);
+    if (mode == 3 || mode == 4)
+        return cellpack_mode3(nnz, m, n, cw, rows, cols, vals, batch,
+                              mode == 4);
     return cellpack_run(nnz, m, n, cw, rows, cols, vals, mode);
 }
 
+// mode 4 = mode 3 + TWO-CHOICE lanes: an entry may sit at lane b or
+// b ^ 64 (classic power-of-two-choices — the per-lane Poisson max that
+// dictates the tile count drops from mean + O(sqrt) to mean + O(lg lg)).
+// Layout grows one row (29): row 10 holds per-slot choice bits (bit s of
+// word[lane] = 1 when the slot reads window column lane ^ 64); invl moves
+// to rows 11-12 and the S-table to rows 13-28.  Tiles are 8-grouped for
+// DMA alignment (29 * 8 = 232 rows = 29 vreg tiles exactly).
 static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                             const int32_t* rows, const int32_t* cols,
-                            const float* vals, int64_t batch) {
+                            const float* vals, int64_t batch,
+                            bool two_choice) {
+    const int64_t FR = two_choice ? 29 : FROWS;
+    const int64_t IOFF = two_choice ? 11 : 10;  // invl rows
+    const int64_t SOFF = two_choice ? 13 : 12;  // stab rows
     const int64_t n_rb = (m + ROW_BLOCK - 1) / ROW_BLOCK > 0
                              ? (m + ROW_BLOCK - 1) / ROW_BLOCK
                              : 1;
@@ -144,7 +158,7 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         int64_t na = alloc ? alloc : 4096;
         while (na < need) na *= 2;
         void* v;
-        v = std::realloc(out->fused, na * FROWS * 128 * sizeof(int32_t));
+        v = std::realloc(out->fused, na * FR * 128 * sizeof(int32_t));
         if (!v) return false; out->fused = (int32_t*)v;
         v = std::realloc(out->rb, na * sizeof(int32_t));
         if (!v) return false; out->rb = (int32_t*)v;
@@ -159,10 +173,10 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 
     int64_t t_next = 0;
     auto init_tile_words = [&](int64_t tid, int64_t w) {
-        int32_t* f = out->fused + tid * FROWS * 128;
-        std::memset(f, 0, (size_t)12 * 128 * sizeof(int32_t));       // vals+w
-        std::memset(f + 10 * 128, 0xFF, (size_t)2 * 128 * sizeof(int32_t));
-        std::memset(f + 12 * 128, 0xFF, (size_t)16 * 128 * sizeof(int32_t));
+        int32_t* f = out->fused + tid * FR * 128;
+        std::memset(f, 0, (size_t)IOFF * 128 * sizeof(int32_t));  // vals+w(+c)
+        std::memset(f + IOFF * 128, 0xFF, (size_t)2 * 128 * sizeof(int32_t));
+        std::memset(f + SOFF * 128, 0xFF, (size_t)16 * 128 * sizeof(int32_t));
         out->rb[tid] = 0;
         out->wb[tid] = (int32_t)w;
     };
@@ -180,12 +194,14 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 
     std::vector<std::pair<int32_t, int64_t>> deal;
     int32_t l_counter[128], b_counter[128];
+    int32_t lane_load[128];  // two-choice: entries placed per lane this cell
 
     for (int64_t w = 0; w < nwc; ++w) {
         for (int64_t rbi = 0; rbi < n_rb; ++rbi) {
             const int64_t cell = rbi * nwc + w;
             const int64_t lo = cell_count[cell], hi = cell_count[cell + 1];
             if (lo == hi) continue;
+            if (two_choice) std::memset(lane_load, 0, sizeof(lane_load));
             if (hi - lo > 1) {
                 // deal order: key = max(rank within lane class b, rank
                 // within output-l class) — fills each tile's lane slots and
@@ -218,18 +234,32 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                 const int32_t local = row & (ROW_BLOCK - 1);
                 const int32_t g = local >> 7, l = local & 127;
 
-                int placed_tile = -1, placed_sub = -1;
-                for (int k = 0; k < n_open && placed_tile < 0; ++k) {
-                    const int slot_k = (newest - k + PROBE_TILES) % PROBE_TILES;
-                    OpenTile& t = tiles[slot_k];
-                    if (t.used >= TILE) continue;
-                    if (row_stamp[(size_t)slot_k * ROW_BLOCK + local] == t.id)
-                        continue;
-                    for (int sb = 0; sb < 8; ++sb) {
-                        if (!t.slot_taken[sb][b] && !t.l_used[sb][l]) {
-                            placed_tile = slot_k;
-                            placed_sub = sb;
-                            break;
+                int cand[2] = {b, b};
+                int n_cand = 1;
+                if (two_choice) {
+                    n_cand = 2;
+                    cand[1] = b ^ 64;
+                    if (lane_load[cand[1]] < lane_load[cand[0]])
+                        std::swap(cand[0], cand[1]);
+                }
+                int placed_tile = -1, placed_sub = -1, lane = b;
+                for (int ci = 0; ci < n_cand && placed_tile < 0; ++ci) {
+                    const int la = cand[ci];
+                    for (int k = 0; k < n_open && placed_tile < 0; ++k) {
+                        const int slot_k =
+                            (newest - k + PROBE_TILES) % PROBE_TILES;
+                        OpenTile& t = tiles[slot_k];
+                        if (t.used >= TILE) continue;
+                        if (row_stamp[(size_t)slot_k * ROW_BLOCK + local] ==
+                            t.id)
+                            continue;
+                        for (int sb = 0; sb < 8; ++sb) {
+                            if (!t.slot_taken[sb][la] && !t.l_used[sb][l]) {
+                                placed_tile = slot_k;
+                                placed_sub = sb;
+                                lane = la;
+                                break;
+                            }
                         }
                     }
                 }
@@ -239,24 +269,28 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                     if (!open_tile(newest, cell)) { delete out; return nullptr; }
                     placed_tile = newest;
                     placed_sub = 0;
+                    lane = cand[0];
                 }
                 OpenTile& t = tiles[placed_tile];
                 const int sub = placed_sub;
-                t.slot_taken[sub][b] = 1;
+                t.slot_taken[sub][lane] = 1;
                 t.l_used[sub][l] = 1;
                 ++t.used;
+                if (two_choice) ++lane_load[lane];
                 row_stamp[(size_t)placed_tile * ROW_BLOCK + local] = t.id;
-                int32_t* f = out->fused + t.id * FROWS * 128;
+                int32_t* f = out->fused + t.id * FR * 128;
                 int32_t vbits;
                 std::memcpy(&vbits, &vals[e], 4);
-                f[sub * 128 + b] = vbits;
+                f[sub * 128 + lane] = vbits;
                 const int sh8 = 8 * (sub & 3);
-                int32_t* ww = f + (8 + (sub >> 2)) * 128 + b;
+                int32_t* ww = f + (8 + (sub >> 2)) * 128 + lane;
                 *ww = (*ww & ~(0xFF << sh8)) | ((w7 | 0x80) << sh8);
-                int32_t* iw = f + (10 + (sub >> 2)) * 128 + l;
-                *iw = (*iw & ~(0xFF << sh8)) | (b << sh8);
+                if (two_choice && lane != b)
+                    f[10 * 128 + lane] |= (1 << sub);
+                int32_t* iw = f + (IOFF + (sub >> 2)) * 128 + l;
+                *iw = (*iw & ~(0xFF << sh8)) | (lane << sh8);
                 const int sh4 = 4 * (g & 7);
-                int32_t* sw = f + (12 + (g >> 3)) * 128 + l;
+                int32_t* sw = f + (SOFF + (g >> 3)) * 128 + l;
                 *sw = (*sw & ~(0xF << sh4)) | (sub << sh4);
             }
         }
@@ -279,7 +313,7 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
     // whose slot in that sublane row is INVALID (its product is identity);
     // a full sublane row has no sentinels left, so a fallback always exists
     for (int64_t t = 0; t < t_next; ++t) {
-        int32_t* f = out->fused + t * FROWS * 128;
+        int32_t* f = out->fused + t * FR * 128;
         for (int s = 0; s < 8; ++s) {
             const int sh8 = 8 * (s & 3);
             const int32_t* ww = f + (8 + (s >> 2)) * 128;
@@ -288,7 +322,7 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                 if (!((ww[lane] >> sh8) & 0x80)) { fallback = lane; break; }
             }
             if (fallback < 0) continue;
-            int32_t* iw = f + (10 + (s >> 2)) * 128;
+            int32_t* iw = f + (IOFF + (s >> 2)) * 128;
             for (int l = 0; l < 128; ++l) {
                 if (((iw[l] >> sh8) & 0xFF) == 0xFF)
                     iw[l] = (iw[l] & ~(0xFF << sh8)) | (fallback << sh8);

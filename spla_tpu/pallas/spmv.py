@@ -1100,7 +1100,7 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
 # Reference role: ``kernels/mxv.cl:44-81`` (pull SpMV).
 # ---------------------------------------------------------------------------
 
-FUSED_K = 16  # tiles per grid step; the packer pads windows to multiples
+FUSED_K = 32  # tiles per grid step; the packer pads windows to multiples
 FUSED_MAX_RB = 1024  # resident output cap: 1024 row blocks = 64 MB VMEM
 
 
@@ -1111,27 +1111,37 @@ class FusedCellSpmv:
     cw: int
     n_row_blocks: int
     n_tiles: int  # multiple of FUSED_K
-    # tile PAIRS: [T//2, 56, 128] int32 — two 28-row tiles per block row
-    # group so the leading block dim is a multiple of the (8, 128) physical
-    # vreg tile (28 rows alone get padded to 32 and break DMA alignment:
-    # measured 105 -> 56 ns/tile from this packing alone)
+    # tile GROUPS, aligned so the leading block dim is a whole number of
+    # (8, 128) physical vreg tiles (misaligned rows get padded to 32 and
+    # break DMA alignment: measured 105 -> 56 ns/tile from packing alone):
+    #   layout 1: [T//2, 56, 128] int32 — two 28-row tiles per block row
+    #   layout 2: [T//8, 232, 128] int32 — eight 29-row two-choice tiles
     fused: jax.Array
     rb_of_tile: jax.Array  # [T] int32
     wb_of_batch: jax.Array  # [T // FUSED_K] int32
     slots: int
     nnz: int
+    layout: int = 1
 
 
 jax.tree_util.register_dataclass(
     FusedCellSpmv,
     data_fields=["fused", "rb_of_tile", "wb_of_batch"],
-    meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz"],
+    meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz",
+                 "layout"],
 )
 
 
-def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384):
-    """Fused routeless cell layout (packer mode=3); None without the native
-    packer or when the output exceeds the resident-VMEM cap."""
+def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
+                                 two_choice: bool = False):
+    """Fused routeless cell layout (packer mode 3, or mode 4 with
+    two-choice lanes); None without the native packer or when the output
+    exceeds the resident-VMEM cap.
+
+    Two-choice defaults OFF: measured on the uniform deg-16 benchmark
+    graph it shaves only ~1% padding — the binding constraint is the
+    OUTPUT-l class imbalance (row % 128, not relaxable by lane choice) —
+    while its extra gathers/selects cost ~8 ns/tile (64.1 vs 55.8)."""
     from .cellpack_native import native_pack
 
     assert cw % 1024 == 0 and 1024 <= cw <= 16384, cw
@@ -1139,21 +1149,35 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384):
     if n_rb > FUSED_MAX_RB:
         return None
     nnz = int(np.asarray(rows).shape[0])
+    mode = 4 if two_choice else 3
     packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
-                         np.asarray(vals), mode=3, batch=FUSED_K)
+                         np.asarray(vals), mode=mode, batch=FUSED_K)
     if packed is None:
         return None
     nt, fused, rb_t, wb_t = packed
+    if two_choice:
+        fused_dev = jnp.asarray(np.asarray(fused).reshape(nt // 8, 232, 128))
+    else:
+        fused_dev = jnp.asarray(np.asarray(fused).reshape(nt // 2, 56, 128))
     return FusedCellSpmv(
         m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
-        fused=jnp.asarray(np.asarray(fused).reshape(nt // 2, 56, 128)),
+        fused=fused_dev,
         rb_of_tile=jnp.asarray(rb_t),
         wb_of_batch=jnp.asarray(wb_t[::FUSED_K].copy()),
         slots=int(nt) * TILE, nnz=nnz,
+        layout=2 if two_choice else 1,
     )
 
 
-def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb):
+def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout):
+    # layout 1: 28-row tiles, two per fused block row; layout 2 (two-choice
+    # lanes): 29-row tiles, eight per block row, row 10 = choice bits,
+    # invl at rows 11-12, S-table at rows 13-28
+    frows = 28 if layout == 1 else 29
+    per_row = 2 if layout == 1 else 8
+    ioff = 10 if layout == 1 else 11
+    soff = 12 if layout == 1 else 13
+
     def kernel(rb_ref, wb_ref, act_ref, f_ref, x_ref, out_ref):
         c = pl.program_id(0)
         ident = jnp.float32(identity)
@@ -1167,11 +1191,17 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb):
             siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             sh8 = (siota % 4) * 8
             sh4 = siota * 4
+            if layout == 2:
+                # window shifted by 64 lanes: the second gather choice
+                # (computed once per K-tile batch)
+                liota = lax.broadcasted_iota(jnp.int32, (cwr, 128), 1)
+                xsw = jnp.take_along_axis(x_ref[:], (liota + 64) % 128,
+                                          axis=1)
             for j in range(FUSED_K):
-                base = (j % 2) * 28  # two 28-row tiles per fused block row
+                base = (j % per_row) * frows
 
                 def fr(a, b, j=j, base=base):
-                    return f_ref[j // 2, base + a: base + b]
+                    return f_ref[j // per_row, base + a: base + b]
 
                 w_words = fr(8, 10)
                 wrep = jnp.concatenate(
@@ -1181,26 +1211,34 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb):
                 w7 = wbyte & 0x7F
                 r3 = w7 & 7
                 m4 = w7 >> 3
-                # routeless gather: slot lane IS the source column % 128,
+                # routeless gather: slot lane IS the source column % 128
+                # (layout 2: or column % 128 ^ 64, per the choice bit),
                 # so only the w (window row) dimension needs resolving
+                if layout == 2:
+                    crow = jnp.broadcast_to(fr(10, 11), (8, 128))
+                    cbit = (crow >> siota) & 1
                 xg = jnp.zeros((8, 128), jnp.float32)
                 for q in range(cwr // 8):
                     cand = jnp.take_along_axis(x_ref[8 * q: 8 * q + 8], r3,
                                                axis=0)
+                    if layout == 2:
+                        cand2 = jnp.take_along_axis(xsw[8 * q: 8 * q + 8],
+                                                    r3, axis=0)
+                        cand = jnp.where(cbit == 1, cand2, cand)
                     xg = jnp.where(m4 == q, cand, xg)
                 vals = lax.bitcast_convert_type(fr(0, 8), jnp.float32)
                 prod = op_mul(vals, xg)
                 prod = jnp.where(valid, prod, ident)
-                i_words = fr(10, 12)
+                i_words = fr(ioff, ioff + 2)
                 irep = jnp.concatenate(
                     [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
                 inv = (irep >> sh8) & 0xFF
                 psort = jnp.take_along_axis(prod, inv, axis=1)
-                # S-table scatter: nibble g%8 of word 12+g//8 picks the
+                # S-table scatter: nibble g%8 of word soff+g//8 picks the
                 # sublane holding output cell (g, l); 0xF = absent
                 parts = []
                 for q in range(16):
-                    sw = jnp.broadcast_to(fr(12 + q, 13 + q), (8, 128))
+                    sw = jnp.broadcast_to(fr(soff + q, soff + q + 1), (8, 128))
                     sk = (sw >> sh4) & 0xF
                     gk = jnp.take_along_axis(psort, jnp.minimum(sk, 7), axis=0)
                     parts.append(jnp.where(sk < 8, gk, ident))
@@ -1229,12 +1267,13 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
         ).astype(jnp.int32)
     else:
         act = jnp.ones((nwc,), jnp.int32)
+    fblock = ((FUSED_K // 2, 56, 128) if fmt.layout == 1
+              else (FUSED_K // 8, 232, 128))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # rb_of_tile, wb_of_batch, act
         grid=(fmt.n_tiles // FUSED_K,),
         in_specs=[
-            pl.BlockSpec((FUSED_K // 2, 56, 128),
-                         lambda c, rb, wb, ac: (c, 0, 0),
+            pl.BlockSpec(fblock, lambda c, rb, wb, ac: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cwr, 128), lambda c, rb, wb, ac: (wb[c], 0),
                          memory_space=pltpu.VMEM),
@@ -1247,7 +1286,8 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
     fn = getattr(op_mul, "fn", op_mul)
     add = getattr(op_add, "fn", op_add)
     out = pl.pallas_call(
-        _make_fused_kernel(fn, add, float(identity), cwr, fmt.n_row_blocks),
+        _make_fused_kernel(fn, add, float(identity), cwr, fmt.n_row_blocks,
+                           fmt.layout),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks * 128, 128),
                                        jnp.float32),
