@@ -137,6 +137,9 @@ def _should_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
+MXMT_K = 8  # job tiles per grid step (amortizes the ~190 ns step cost)
+
+
 def _job_tiles(arr8):
     """[J, 8] job-major -> [J//128, 8, 128] tile-major (lane = job)."""
     j = arr8.shape[0]
@@ -145,59 +148,84 @@ def _job_tiles(arr8):
     )
 
 
+def _fuse_jobs(ac, av, bc, bv):
+    """Fuse the four [J, 8] job arrays into ONE [J//128, 32, 128] int32
+    block (rows 0-7 ac, 8-15 av bits, 16-23 bc, 24-31 bv bits) padded to
+    MXMT_K tiles per grid step — one aligned DMA per step instead of four
+    (the same fix that took the SpMV kernel from 105 to 56 ns/tile)."""
+    j = ac.shape[0]
+    nt = j // 128
+    ntp = -(-nt // MXMT_K) * MXMT_K
+    fused = np.empty((ntp, 32, 128), np.int32)
+    fused[:, 0:8] = np.full((ntp, 8, 128), -1, np.int32)   # pad: sentinels
+    fused[:, 16:24] = np.full((ntp, 8, 128), -2, np.int32)
+    fused[:, 8:16] = 0
+    fused[:, 24:32] = 0
+    fused[:nt, 0:8] = _job_tiles(ac)
+    fused[:nt, 8:16] = _job_tiles(av).view(np.int32)
+    fused[:nt, 16:24] = _job_tiles(bc)
+    fused[:nt, 24:32] = _job_tiles(bv).view(np.int32)
+    return fused, nt
+
+
 def _make_reduce_kernel(op_mul):
-    def kernel(ac_ref, av_ref, bc_ref, bv_ref, out_ref):
+    from jax import lax
+
+    def kernel(f_ref, out_ref):
         c = pl.program_id(0)
 
         @pl.when(c == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        ac = ac_ref[0]
-        av = av_ref[0]
-        bc = bc_ref[0]
-        bv = bv_ref[0]
         acc = jnp.zeros((8, 128), jnp.float32)
-        for p in range(8):  # all-pairs compare-FMA (sentinels never match)
-            hit = jnp.broadcast_to(ac[p][None, :], (8, 128)) == bc
-            prod = op_mul(jnp.broadcast_to(av[p][None, :], (8, 128)), bv)
-            acc = acc + jnp.where(hit, prod, 0.0)
+        for j in range(MXMT_K):
+            ac = f_ref[j, 0:8]
+            av = lax.bitcast_convert_type(f_ref[j, 8:16], jnp.float32)
+            bc = f_ref[j, 16:24]
+            bv = lax.bitcast_convert_type(f_ref[j, 24:32], jnp.float32)
+            for p in range(8):  # all-pairs compare-FMA (sentinels never hit)
+                hit = jnp.broadcast_to(ac[p][None, :], (8, 128)) == bc
+                prod = op_mul(jnp.broadcast_to(av[p][None, :], (8, 128)), bv)
+                acc = acc + jnp.where(hit, prod, 0.0)
         out_ref[:] += acc
 
     return kernel
 
 
 def _make_partials_kernel(op_mul, op_add, identity):
-    def kernel(ac_ref, av_ref, bc_ref, bv_ref, out_ref):
+    from jax import lax
+
+    def kernel(f_ref, out_ref):
         ident = jnp.float32(identity)
-        ac = ac_ref[0]
-        av = av_ref[0]
-        bc = bc_ref[0]
-        bv = bv_ref[0]
-        acc = jnp.full((8, 128), ident, jnp.float32)
-        for p in range(8):
-            hit = jnp.broadcast_to(ac[p][None, :], (8, 128)) == bc
-            prod = op_mul(jnp.broadcast_to(av[p][None, :], (8, 128)), bv)
-            acc = op_add(acc, jnp.where(hit, prod, ident))
-        # per-job partial = column fold (jobs are lanes)
-        red = acc[0:4]
-        red = op_add(red, acc[4:8])
-        red = op_add(red[0:2], red[2:4])
-        out_ref[0, 0, :] = op_add(red[0], red[1])
+        for j in range(MXMT_K):
+            ac = f_ref[j, 0:8]
+            av = lax.bitcast_convert_type(f_ref[j, 8:16], jnp.float32)
+            bc = f_ref[j, 16:24]
+            bv = lax.bitcast_convert_type(f_ref[j, 24:32], jnp.float32)
+            acc = jnp.full((8, 128), ident, jnp.float32)
+            for p in range(8):
+                hit = jnp.broadcast_to(ac[p][None, :], (8, 128)) == bc
+                prod = op_mul(jnp.broadcast_to(av[p][None, :], (8, 128)), bv)
+                acc = op_add(acc, jnp.where(hit, prod, ident))
+            # per-job partial = column fold (jobs are lanes)
+            red = acc[0:4]
+            red = op_add(red, acc[4:8])
+            red = op_add(red[0:2], red[2:4])
+            out_ref[0, j, :] = op_add(red[0], red[1])
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("op_mul",))
-def _reduce_call(ac, av, bc, bv, op_mul):
-    nt = ac.shape[0]
+def _reduce_call(fused, op_mul):
+    nb = fused.shape[0] // MXMT_K
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nt,),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(4)
+            pl.BlockSpec((MXMT_K, 32, 128), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, 128), lambda c: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -210,29 +238,29 @@ def _reduce_call(ac, av, bc, bv, op_mul):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=_should_interpret(),
-    )(ac, av, bc, bv)
+    )(fused)
 
 
 @partial(jax.jit, static_argnames=("op_mul", "op_add", "identity"))
-def _partials_call(ac, av, bc, bv, op_mul, op_add=jnp.add, identity=0.0):
-    nt = ac.shape[0]
+def _partials_call(fused, op_mul, op_add=jnp.add, identity=0.0):
+    nt = fused.shape[0]
+    nb = nt // MXMT_K
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nt,),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(4)
+            pl.BlockSpec((MXMT_K, 32, 128), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((1, MXMT_K, 128), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         _make_partials_kernel(op_mul, op_add, float(identity)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, 1, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, MXMT_K, 128), jnp.float32),
         interpret=_should_interpret(),
-    )(ac, av, bc, bv)
+    )(fused)
     return out.reshape(-1)  # per-job partials, job order
 
 
@@ -252,10 +280,8 @@ def pallas_mxmT_reduce(mrow, mcol, a_indptr, a_cols, a_vals,
         return None
     ac, av, bc, bv, _seg, _njr = jobs
     mul = _default_mul if op_mul is None else getattr(op_mul, "fn", op_mul)
-    out = _reduce_call(
-        jnp.asarray(_job_tiles(ac)), jnp.asarray(_job_tiles(av)),
-        jnp.asarray(_job_tiles(bc)), jnp.asarray(_job_tiles(bv)), mul,
-    )
+    fused, _ = _fuse_jobs(ac, av, bc, bv)
+    out = _reduce_call(jnp.asarray(fused), mul)
     return float(np.asarray(out).astype(np.float64).sum())
 
 
@@ -274,9 +300,7 @@ def pallas_mxmT_job_partials(mrow, mcol, a_indptr, a_cols, a_vals,
     ac, av, bc, bv, seg, njr = jobs
     mul = _default_mul if op_mul is None else getattr(op_mul, "fn", op_mul)
     add = jnp.add if op_add is None else getattr(op_add, "fn", op_add)
-    partials = _partials_call(
-        jnp.asarray(_job_tiles(ac)), jnp.asarray(_job_tiles(av)),
-        jnp.asarray(_job_tiles(bc)), jnp.asarray(_job_tiles(bv)), mul,
-        add, float(identity),
-    )
+    fused, _ = _fuse_jobs(ac, av, bc, bv)
+    partials = _partials_call(jnp.asarray(fused), mul, add, float(identity))
+    partials = partials[: ac.shape[0]]  # drop batch-padding jobs
     return partials, seg, njr
