@@ -423,7 +423,8 @@ def tc(A: CsrMatrix, products_cap: int | None = None) -> int:
             keep = vals > 0  # GTZERO select on the mask values
             av = np.ones_like(vals) if is_pattern else vals
             r = pallas_mxmT_reduce(
-                rows[keep], cols[keep], indptr, cols, av, indptr, cols, av
+                rows[keep], cols[keep], indptr, cols, av, indptr, cols, av,
+                cache_key=A.values, tag=("tc", is_pattern),
             )
             if r is not None:
                 return int(round(r))

@@ -242,9 +242,15 @@ def _pallas_mxmT_try(mask, A, B, op_mul, op_add, op_select, init_a,
     n_keep = int(mrow_s.size)
     ident = _MXMT_IDENT[kind]
     mul = None if op_mul is None else getattr(op_mul, "fn", op_mul)
+    # cache the job stream when mask/A/B share one values array (the
+    # triangle-counting shape) — its lifetime then bounds the cache entry
+    cache_key = (A.values if (A.values is B.values and
+                              mask.values is A.values) else None)
     out = pallas_mxmT_job_partials(
         mrow_s, mcol_s, a_indptr, a_cols_h, av, b_indptr, b_cols_h, bv,
         op_mul=mul, op_add=op_add, identity=ident,
+        cache_key=cache_key,
+        tag=("partials", bool(struct_only), str(kind), str(mul_name)),
     )
     if out is None:
         return None

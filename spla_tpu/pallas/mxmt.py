@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "build_pair_jobs",
     "pairs_available",
+    "get_fused_jobs",
     "pallas_mxmT_reduce",
     "pallas_mxmT_job_partials",
 ]
@@ -89,6 +90,68 @@ def _native_lib():
 
 def pairs_available() -> bool:
     return _native_lib() is not None
+
+
+# device-resident fused job streams, cached on the mask-owner's values
+# array (dies with it) — rebuilding + re-uploading jobs per call costs
+# seconds while the kernel itself runs in milliseconds
+from ..formats import WeakIdCache  # noqa: E402
+
+_JOB_CACHE = WeakIdCache()
+_JOB_DISK_MIN = 2_000_000  # mask entries; below this the build is fast
+
+
+def _jobs_disk_path(mrow, mcol, a_vals, b_vals):
+    import hashlib
+    from .cellpack_native import _cache_dir
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray(mrow).tobytes())
+    h.update(np.asarray(mcol).tobytes())
+    h.update(np.asarray(a_vals).tobytes())
+    h.update(np.asarray(b_vals).tobytes())
+    return os.path.join(_cache_dir(), f"pairjobs-{h.hexdigest()}.npz")
+
+
+def get_fused_jobs(cache_key, mrow, mcol, a_indptr, a_cols, a_vals,
+                   b_indptr, b_cols, b_vals, tag=()):
+    """(fused_device_array, seg, n_jobs_real, n_jobs) with the host build
+    and device upload cached on ``cache_key`` (a jax.Array whose lifetime
+    bounds the cache entry); None without the native job builder."""
+    full_tag = ("jobs",) + tuple(tag)
+    if _JOB_CACHE.contains(cache_key, full_tag):
+        return _JOB_CACHE.get(cache_key, full_tag)
+    entry = None
+    jobs = None
+    disk = None
+    if mrow.size >= _JOB_DISK_MIN and not os.environ.get("SPLA_NO_PACK_CACHE"):
+        disk = _jobs_disk_path(mrow, mcol, a_vals, b_vals)
+        if os.path.exists(disk):
+            try:
+                with np.load(disk) as z:
+                    jobs = (z["ac"], z["av"], z["bc"], z["bv"], z["seg"],
+                            int(z["njr"]))
+            except Exception:
+                jobs = None
+    if jobs is None:
+        jobs = build_pair_jobs(mrow, mcol, a_indptr, a_cols, a_vals,
+                               b_indptr, b_cols, b_vals)
+        if jobs is not None and disk is not None:
+            try:
+                os.makedirs(os.path.dirname(disk), exist_ok=True)
+                tmp = disk + f".{os.getpid()}.tmp"
+                with open(tmp, "wb") as f:
+                    np.savez(f, ac=jobs[0], av=jobs[1], bc=jobs[2],
+                             bv=jobs[3], seg=jobs[4], njr=jobs[5])
+                os.replace(tmp, disk)
+            except Exception:
+                pass
+    if jobs is not None:
+        ac, av, bc, bv, seg, njr = jobs
+        fused, _ = _fuse_jobs(ac, av, bc, bv)
+        entry = (jnp.asarray(fused), seg, njr, ac.shape[0])
+    _JOB_CACHE.put(cache_key, entry, full_tag)
+    return entry
 
 
 def build_pair_jobs(mrow, mcol, a_indptr, a_cols, a_vals,
@@ -269,38 +332,59 @@ def _default_mul(a, b):
 
 
 def pallas_mxmT_reduce(mrow, mcol, a_indptr, a_cols, a_vals,
-                       b_indptr, b_cols, b_vals, op_mul=None) -> float:
+                       b_indptr, b_cols, b_vals, op_mul=None,
+                       cache_key=None, tag=()) -> float:
     """sum over mask entries (i,j) of sum_k op_mul(A[i,k], B[j,k]) —
     the fused (mxmT_masked -> m_reduce(PLUS)) path (triangle counting,
     reference ``src/algorithm.cpp:380-414``).  Host arrays in, float out.
-    Returns None without the native job builder."""
-    jobs = build_pair_jobs(mrow, mcol, a_indptr, a_cols, a_vals,
-                           b_indptr, b_cols, b_vals)
-    if jobs is None:
-        return None
-    ac, av, bc, bv, _seg, _njr = jobs
+    Returns None without the native job builder.  ``cache_key`` (a
+    jax.Array) caches the built+uploaded job stream across calls."""
+    if cache_key is not None:
+        entry = get_fused_jobs(cache_key, mrow, mcol, a_indptr, a_cols,
+                               a_vals, b_indptr, b_cols, b_vals, tag=tag)
+        if entry is None:
+            return None
+        fused_dev = entry[0]
+    else:
+        jobs = build_pair_jobs(mrow, mcol, a_indptr, a_cols, a_vals,
+                               b_indptr, b_cols, b_vals)
+        if jobs is None:
+            return None
+        ac, av, bc, bv, _seg, _njr = jobs
+        fused, _ = _fuse_jobs(ac, av, bc, bv)
+        fused_dev = jnp.asarray(fused)
     mul = _default_mul if op_mul is None else getattr(op_mul, "fn", op_mul)
-    fused, _ = _fuse_jobs(ac, av, bc, bv)
-    out = _reduce_call(jnp.asarray(fused), mul)
+    out = _reduce_call(fused_dev, mul)
     return float(np.asarray(out).astype(np.float64).sum())
 
 
 def pallas_mxmT_job_partials(mrow, mcol, a_indptr, a_cols, a_vals,
                              b_indptr, b_cols, b_vals, op_mul=None,
-                             op_add=None, identity=0.0):
+                             op_add=None, identity=0.0,
+                             cache_key=None, tag=()):
     """Per-mask-entry raw partials: returns (job_partials [J], seg [J],
     n_jobs_real) for an XLA segment fold into R values, or None.  op_add
     must be an associative/commutative monoid with the given identity
     (default PLUS/0); a mask entry's value = fold over its jobs'
-    partials.  Sentinel-padded job slots contribute identity."""
-    jobs = build_pair_jobs(mrow, mcol, a_indptr, a_cols, a_vals,
-                           b_indptr, b_cols, b_vals)
-    if jobs is None:
-        return None
-    ac, av, bc, bv, seg, njr = jobs
+    partials.  Sentinel-padded job slots contribute identity.
+    ``cache_key`` caches the built+uploaded job stream across calls."""
+    if cache_key is not None:
+        entry = get_fused_jobs(cache_key, mrow, mcol, a_indptr, a_cols,
+                               a_vals, b_indptr, b_cols, b_vals, tag=tag)
+        if entry is None:
+            return None
+        fused_dev, seg, njr, n_jobs = entry
+    else:
+        jobs = build_pair_jobs(mrow, mcol, a_indptr, a_cols, a_vals,
+                               b_indptr, b_cols, b_vals)
+        if jobs is None:
+            return None
+        ac, av, bc, bv, seg, njr = jobs
+        fused, _ = _fuse_jobs(ac, av, bc, bv)
+        fused_dev = jnp.asarray(fused)
+        n_jobs = ac.shape[0]
     mul = _default_mul if op_mul is None else getattr(op_mul, "fn", op_mul)
     add = jnp.add if op_add is None else getattr(op_add, "fn", op_add)
-    fused, _ = _fuse_jobs(ac, av, bc, bv)
-    partials = _partials_call(jnp.asarray(fused), mul, add, float(identity))
-    partials = partials[: ac.shape[0]]  # drop batch-padding jobs
+    partials = _partials_call(fused_dev, mul, add, float(identity))
+    partials = partials[:n_jobs]  # drop batch-padding jobs
     return partials, seg, njr
