@@ -33,7 +33,9 @@ from jax import lax
 from . import op as OP
 from .containers import CsrMatrix, DenseVec, Scalar
 from .descriptor import Descriptor
-from .formats import csr_transpose_host
+from .formats import WeakIdCache, csr_transpose_host
+
+_TC_PATTERN_CACHE = WeakIdCache()  # is-0/1-pattern verdicts, keyed on values
 from .ops.spmv import masked_spmv, masked_spmv_structural
 
 
@@ -408,9 +410,12 @@ def tc(A: CsrMatrix, products_cap: int | None = None) -> int:
     from .ops.spgemm import mxmT_masked
     from .ops.matrix import m_reduce
 
-    is_pattern = bool(
-        np.asarray(jnp.all(jnp.where(A.valid_mask(), A.values, 1) == 1))
-    )
+    is_pattern = _TC_PATTERN_CACHE.get(A.values, ("pat",))
+    if is_pattern is None:
+        is_pattern = bool(
+            np.asarray(jnp.all(jnp.where(A.valid_mask(), A.values, 1) == 1))
+        )
+        _TC_PATTERN_CACHE.put(A.values, is_pattern, ("pat",))
     if _on_tpu():
         # fused Pallas intersection kernel (reduce folded in) — the
         # reference's cl_mxmT_masked + m_reduce pipeline in one pass
