@@ -98,6 +98,47 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     emit("sssp_ms", dt * 1e3, "ms", n=n, nnz=int(A.nnz), device=dev)
 
+    # ---- road-network-class BFS (direction optimization stress) ----
+    # Morton-ordered 2D grid: locality-preserving vertex order, ~2*side
+    # levels of tiny frontiers — the reference's road_central class.
+    side = 1 << (7 if args.small else 10)
+    nrd = side * side
+
+    def morton(x, y):
+        def spread(v):
+            v = (v | (v << 8)) & 0x00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F
+            v = (v | (v << 2)) & 0x33333333
+            v = (v | (v << 1)) & 0x55555555
+            return v
+        return (spread(x) | (spread(y) << 1)).astype(np.int64)
+
+    import scipy.sparse as sp
+    xs, ys = np.meshgrid(np.arange(side, dtype=np.int64),
+                         np.arange(side, dtype=np.int64), indexing="ij")
+    rows_l, cols_l = [], []
+    for dx, dy in ((1, 0), (0, 1)):
+        xs2, ys2 = xs[: side - dx, : side - dy], ys[: side - dx, : side - dy]
+        a = morton(xs2.ravel(), ys2.ravel())
+        b = morton((xs2 + dx).ravel(), (ys2 + dy).ravel())
+        rows_l += [a, b]
+        cols_l += [b, a]
+    rr = np.concatenate(rows_l).astype(np.int32)
+    cc = np.concatenate(cols_l).astype(np.int32)
+    Ard = sp.csr_matrix((np.ones(rr.size, np.float32), (rr, cc)),
+                        shape=(nrd, nrd))
+    Ardc = F.csr_from_scipy(Ard)
+    src = 0
+    lev = alg.bfs(Ardc, src)
+    np.asarray(lev.values)  # warm-up compile
+    t0 = time.perf_counter()
+    lev = alg.bfs(Ardc, src)
+    lv = np.asarray(lev.values)
+    dtr = time.perf_counter() - t0
+    emit("road_bfs_gteps", Ard.nnz / dtr / 1e9, "GTEPS", n=nrd,
+         nnz=int(Ard.nnz), levels=int(lv.max()), ms=round(dtr * 1e3, 1),
+         device=dev)
+
     # ---- SpGEMM (masked mxmT, triangle counting core) ----
     nt = 1 << (12 if args.small else 15)
     At = random_graph(nt, 24, seed=3)

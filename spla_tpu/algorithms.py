@@ -111,15 +111,27 @@ def _monoid_apply(fmt):
 
 
 @partial(jax.jit, static_argnames=("monoid",))
-def _bfs_kernel_pallas(fmt, source, monoid=True):
+def _bfs_kernel_pallas(fmt, source, monoid=True,
+                       front_factor=jnp.float32(0.1)):
     """BFS levels with the Pallas cell-SpMV as the traversal kernel: the
     frontier is a {0,1} f32 vector; hits accumulate with MAX (boolean OR)
-    on the VPU monoid scatter, or PLUS counting on the MXU fallback."""
-    from .pallas.spmv import cell_spmv_apply
+    on the VPU monoid scatter, or PLUS counting on the MXU fallback.
+
+    With the fused format the per-level traversal is DIRECTION-OPTIMIZED
+    (reference ``src/algorithm.cpp:93-100``): levels whose frontier
+    density is at most ``front_factor`` run the indirect sparse-grid
+    kernel (cost ~ active tiles only), dense levels the full-streaming
+    kernel — chosen on device by ``lax.cond``, no host syncs."""
+    from .pallas.spmv import (
+        FusedCellSpmv,
+        cell_spmv_apply,
+        fused_cell_spmv_apply_adaptive,
+    )
 
     n = fmt.m
     v0 = jnp.zeros((n,), jnp.int32)
     front0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
+    adaptive = isinstance(fmt, FusedCellSpmv)
 
     def cond(state):
         return state[3] > 0
@@ -127,7 +139,12 @@ def _bfs_kernel_pallas(fmt, source, monoid=True):
     def body(state):
         v, front, depth, _ = state
         v = jnp.where(front > 0, depth, v)
-        if monoid:
+        if adaptive:
+            hits = fused_cell_spmv_apply_adaptive(
+                fmt, front, op_mul=_structural_or, op_add=jnp.maximum,
+                identity=0.0, front_factor=front_factor,
+            )
+        elif monoid:
             hits = _monoid_apply(fmt)(
                 fmt, front, op_mul=_structural_or, op_add=jnp.maximum,
                 identity=0.0, skip_inactive=True,
@@ -141,6 +158,19 @@ def _bfs_kernel_pallas(fmt, source, monoid=True):
         cond, body, (v0, front0, jnp.int32(1), jnp.float32(1))
     )
     return v
+
+
+def _front_factor_of(descriptor):
+    """Map the reference's traversal mode to the adaptive threshold:
+    Push = always take the sparse path when it fits, Pull = never,
+    PushPull/default = the descriptor's density threshold."""
+    if descriptor is None:
+        return jnp.float32(0.1)
+    if descriptor.push_only:
+        return jnp.float32(1.0)
+    if descriptor.pull_only:
+        return jnp.float32(0.0)
+    return jnp.float32(descriptor.front_factor)
 
 
 def bfs(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
@@ -159,7 +189,8 @@ def bfs(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
 
         fmtM, _ = get_best_monoid_format(At, structural=True)
         if fmtM is not None:
-            v = _bfs_kernel_pallas(fmtM, jnp.asarray(source, jnp.int32))
+            v = _bfs_kernel_pallas(fmtM, jnp.asarray(source, jnp.int32),
+                                   front_factor=_front_factor_of(descriptor))
         else:
             fmt = get_structural_format(At)
             v = _bfs_kernel_pallas(fmt, jnp.asarray(source, jnp.int32),
@@ -231,27 +262,46 @@ def _minplus_mul(av, xv):
 
 
 @jax.jit
-def _sssp_kernel_pallas(fmt, source):
+def _sssp_kernel_pallas(fmt, source, front_factor=jnp.float32(0.1)):
     """Min-plus relaxation with the Pallas monoid kernel (the VPU scatter
-    accumulates MIN, which the MXU one-hot path cannot)."""
+    accumulates MIN, which the MXU one-hot path cannot).
+
+    Uses the reference's FEEDBACK-vector semantics
+    (``src/algorithm.cpp:158-229``, v_eadd_fdb): only entries whose
+    distance changed last iteration re-relax — the rest carry the +inf
+    identity, so with the fused format the direction-optimized sparse
+    kernel makes late (nearly-converged) iterations cost only the
+    changed windows."""
+    from .pallas.spmv import FusedCellSpmv, fused_cell_spmv_apply_adaptive
+
     n = fmt.m
     inf = jnp.float32(jnp.inf)
     v0 = jnp.full((n,), inf, jnp.float32).at[source].set(0.0)
+    fdb0 = v0
+    adaptive = isinstance(fmt, FusedCellSpmv)
 
     def cond(state):
-        return state[1] > 0
+        return state[2] > 0
 
     def body(state):
-        v, _ = state
-        frontier = _monoid_apply(fmt)(
-            fmt, v, op_mul=_minplus_mul, op_add=jnp.minimum,
-            identity=float("inf"), skip_inactive=True,
-        )
+        v, fdb, _ = state
+        if adaptive:
+            frontier = fused_cell_spmv_apply_adaptive(
+                fmt, fdb, op_mul=_minplus_mul, op_add=jnp.minimum,
+                identity=float("inf"), front_factor=front_factor,
+            )
+        else:
+            frontier = _monoid_apply(fmt)(
+                fmt, fdb, op_mul=_minplus_mul, op_add=jnp.minimum,
+                identity=float("inf"), skip_inactive=True,
+            )
         new_v = jnp.minimum(v, frontier)
-        changed = jnp.sum(new_v != v).astype(jnp.int32)
-        return (new_v, changed)
+        changed_mask = new_v < v
+        fdb_new = jnp.where(changed_mask, new_v, inf)
+        changed = jnp.sum(changed_mask).astype(jnp.int32)
+        return (new_v, fdb_new, changed)
 
-    v, _ = lax.while_loop(cond, body, (v0, jnp.int32(1)))
+    v, _, _ = lax.while_loop(cond, body, (v0, fdb0, jnp.int32(1)))
     return v
 
 
@@ -267,7 +317,8 @@ def sssp(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
 
         fmt, _ = get_best_monoid_format(At)
         if fmt is not None:
-            v = _sssp_kernel_pallas(fmt, jnp.asarray(source, jnp.int32))
+            v = _sssp_kernel_pallas(fmt, jnp.asarray(source, jnp.int32),
+                                    front_factor=_front_factor_of(descriptor))
             return DenseVec(v, jnp.float32(jnp.inf))
     v = _sssp_kernel(At, jnp.asarray(source, jnp.int32))
     return DenseVec(v, jnp.float32(jnp.inf))

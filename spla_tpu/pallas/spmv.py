@@ -72,6 +72,7 @@ __all__ = [
     "cell_spmv_apply",
     "s_cell_spmv_apply",
     "fused_cell_spmv_apply",
+    "fused_cell_spmv_apply_adaptive",
     "get_best_monoid_format",
     "pallas_spmv_fn",
 ]
@@ -1295,6 +1296,181 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_should_interpret(),
     )(fmt.rb_of_tile, fmt.wb_of_batch, act, fmt.fused, x2d)
+    return out.reshape(-1)[: fmt.m]
+
+
+def _make_sparse_fused_kernel(op_mul, op_add, identity, cwr, layout):
+    """Indirect variant of the fused kernel: grid step c processes tile
+    batch ``lst[c]`` (a device-computed active-batch list).  Steps past
+    ``n_act`` repeat the previous batch index, so Mosaic elides their
+    DMAs — a sparse frontier costs only its active tiles plus an
+    essentially free tail."""
+    frows = 28 if layout == 1 else 29
+    per_row = 2 if layout == 1 else 8
+    ioff = 10 if layout == 1 else 11
+    soff = 12 if layout == 1 else 13
+
+    def kernel(rb_ref, wb_ref, nact_ref, lst_ref, f_ref, x_ref, out_ref):
+        c = pl.program_id(0)
+        ident = jnp.float32(identity)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, ident)
+
+        @pl.when(c < nact_ref[0])
+        def _():
+            b = lst_ref[c]
+            siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            sh8 = (siota % 4) * 8
+            sh4 = siota * 4
+            if layout == 2:
+                liota = lax.broadcasted_iota(jnp.int32, (cwr, 128), 1)
+                xsw = jnp.take_along_axis(x_ref[:], (liota + 64) % 128,
+                                          axis=1)
+            for j in range(FUSED_K):
+                base = (j % per_row) * frows
+
+                def fr(a, e, j=j, base=base):
+                    return f_ref[j // per_row, base + a: base + e]
+
+                w_words = fr(8, 10)
+                wrep = jnp.concatenate(
+                    [w_words[0:1]] * 4 + [w_words[1:2]] * 4, axis=0)
+                wbyte = (wrep >> sh8) & 0xFF
+                valid = (wbyte & 0x80) != 0
+                w7 = wbyte & 0x7F
+                r3 = w7 & 7
+                m4 = w7 >> 3
+                if layout == 2:
+                    crow = jnp.broadcast_to(fr(10, 11), (8, 128))
+                    cbit = (crow >> siota) & 1
+                xg = jnp.zeros((8, 128), jnp.float32)
+                for q in range(cwr // 8):
+                    cand = jnp.take_along_axis(x_ref[8 * q: 8 * q + 8], r3,
+                                               axis=0)
+                    if layout == 2:
+                        cand2 = jnp.take_along_axis(xsw[8 * q: 8 * q + 8],
+                                                    r3, axis=0)
+                        cand = jnp.where(cbit == 1, cand2, cand)
+                    xg = jnp.where(m4 == q, cand, xg)
+                vals = lax.bitcast_convert_type(fr(0, 8), jnp.float32)
+                prod = op_mul(vals, xg)
+                prod = jnp.where(valid, prod, ident)
+                i_words = fr(ioff, ioff + 2)
+                irep = jnp.concatenate(
+                    [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
+                inv = (irep >> sh8) & 0xFF
+                psort = jnp.take_along_axis(prod, inv, axis=1)
+                parts = []
+                for q in range(16):
+                    sw = jnp.broadcast_to(fr(soff + q, soff + q + 1), (8, 128))
+                    sk = (sw >> sh4) & 0xF
+                    gk = jnp.take_along_axis(psort, jnp.minimum(sk, 7), axis=0)
+                    parts.append(jnp.where(sk < 8, gk, ident))
+                delta = jnp.concatenate(parts, axis=0)
+                g0 = rb_ref[b * FUSED_K + j] * 128
+                out_ref[pl.ds(g0, 128)] = op_add(out_ref[pl.ds(g0, 128)], delta)
+
+    return kernel
+
+
+def _sparse_grid_batches(nb: int) -> int:
+    """Static capacity of the sparse-frontier grid (in K-tile batches)."""
+    return max(min(nb, 8), nb // 8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("op_mul", "op_add", "identity"),
+)
+def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
+                                   identity, front_factor=jnp.float32(0.1)):
+    """Direction-optimized SpMV (reference ``src/algorithm.cpp:93-100``,
+    ``descriptor.hpp:46-64``): when the frontier density is at most
+    ``front_factor`` AND the active tile batches fit the sparse grid, run
+    the indirect sparse kernel (cost ~ active tiles only); otherwise the
+    full-streaming kernel.  Selected per call inside jit via ``lax.cond``
+    — usable inside ``lax.while_loop`` level loops with zero host syncs.
+
+    ``front_factor=1.0`` forces the sparse path whenever it fits
+    (reference Push mode); ``0.0`` forces the full kernel (Pull)."""
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    ident = jnp.float32(identity)
+    x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
+    nwc = nwr // cwr
+    nb = fmt.n_tiles // FUSED_K
+    nbs = _sparse_grid_batches(nb)
+    act = jnp.any(
+        x2d.reshape(nwc, cwr * 128) != ident, axis=1
+    ).astype(jnp.int32)
+    act_b = jnp.take(act, fmt.wb_of_batch)
+    n_act = jnp.sum(act_b)
+    order = jnp.argsort(1 - act_b, stable=True).astype(jnp.int32)
+    last = jnp.take(order, jnp.maximum(n_act - 1, 0))
+    lst = jnp.where(jnp.arange(nb) < n_act, order, last)[:nbs]
+    density = jnp.sum(x != ident) / jnp.float32(max(fmt.n, 1))
+    use_sparse = (n_act <= nbs) & (density <= front_factor)
+
+    fn = getattr(op_mul, "fn", op_mul)
+    add = getattr(op_add, "fn", op_add)
+    fblock = ((FUSED_K // 2, 56, 128) if fmt.layout == 1
+              else (FUSED_K // 8, 232, 128))
+    out_shape = jax.ShapeDtypeStruct((fmt.n_row_blocks * 128, 128),
+                                     jnp.float32)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+    def run_full(x2d, act, lst, n_act):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(fblock, lambda c, rb, wb, ac: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cwr, 128), lambda c, rb, wb, ac: (wb[c], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (fmt.n_row_blocks * 128, 128), lambda c, rb, wb, ac: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            _make_fused_kernel(fn, add, float(identity), cwr,
+                               fmt.n_row_blocks, fmt.layout),
+            grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=cparams, interpret=_should_interpret(),
+        )(fmt.rb_of_tile, fmt.wb_of_batch, act, fmt.fused, x2d)
+
+    def run_sparse(x2d, act, lst, n_act):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # rb, wb, n_act, lst
+            grid=(nbs,),
+            in_specs=[
+                pl.BlockSpec(fblock,
+                             lambda c, rb, wb, na, ls: (ls[c], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cwr, 128),
+                             lambda c, rb, wb, na, ls: (wb[ls[c]], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (fmt.n_row_blocks * 128, 128),
+                lambda c, rb, wb, na, ls: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            _make_sparse_fused_kernel(fn, add, float(identity), cwr,
+                                      fmt.layout),
+            grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=cparams, interpret=_should_interpret(),
+        )(fmt.rb_of_tile, fmt.wb_of_batch,
+          jnp.reshape(n_act, (1,)).astype(jnp.int32), lst, fmt.fused, x2d)
+
+    out = lax.cond(use_sparse, run_sparse, run_full, x2d, act, lst,
+                   n_act.astype(jnp.int32))
     return out.reshape(-1)[: fmt.m]
 
 
