@@ -91,6 +91,14 @@ def _expand_schedule(outer_deg, valid, products_cap):
     return src_c, local.astype(jnp.int32), slot_valid
 
 
+# above this many products the numeric phase runs in product-window
+# blocks of MXM_BLOCK_P slots — memory O(block products + output), the
+# TPU equivalent of the reference's O(n)-per-row dense accumulator
+# (``cpu_mxm.hpp:88-114``) instead of materializing every product
+MXM_BLOCK_THRESHOLD = 1 << 24
+MXM_BLOCK_P = 1 << 22
+
+
 def mxm(
     A: CsrMatrix,
     B: CsrMatrix,
@@ -99,20 +107,156 @@ def mxm(
     init,
     products_cap: int | None = None,
     out_capacity: int | None = None,
+    block_products: int | None = None,
 ) -> CsrMatrix:
     """R = A * B over the (op_mul, op_add) semiring; entries whose
     accumulated value equals ``init`` are not stored (reference
     ``cpu_mxm.hpp:109-113``).  Result fill = init.
 
     Symbolic sizing runs host-side (the reference's atomic-counter pass);
-    the numeric phase is ONE jitted program keyed on the static caps."""
+    the numeric phase is ONE jitted program keyed on the static caps.
+    Past ``MXM_BLOCK_THRESHOLD`` total products (or when
+    ``block_products`` is given) the numeric phase runs per product
+    window of that many slots, so device memory stays O(block + output)
+    no matter how many products the multiply expands to."""
     init_a = _scalar(init, A.values.dtype)
+    total = max(count_mxm_products(A, B), 1)
     if products_cap is None:
-        products_cap = max(count_mxm_products(A, B), 1)
+        products_cap = total
+    blk = block_products
+    if blk is None and products_cap > MXM_BLOCK_THRESHOLD:
+        blk = MXM_BLOCK_P
+    if blk is not None and products_cap > blk:
+        return _mxm_blocked(A, B, init_a, op_mul, op_add,
+                            int(products_cap), int(blk))
     return _mxm_numeric(
         A, B, init_a, op_mul, op_add, int(products_cap),
         int(out_capacity) if out_capacity is not None else None,
     )
+
+
+@partial(jax.jit, static_argnames=("op_mul", "op_add", "cap"))
+def _mxm_block_pass(A, B, init_a, ends, offset, op_mul, op_add, cap):
+    """One product-window [offset, offset + cap) of the blocked numeric
+    phase: expand, sort, fold duplicates WITHIN the window, compact.
+    Returns (rows, cols, vals, count) padded to ``cap``; entries of a row
+    straddling two windows appear in both and are merged by the caller's
+    final fold."""
+    m, k = A.shape
+    _, n = B.shape
+    deg_b = jnp.diff(B.indptr)
+    a_cols = jnp.clip(A.cols, 0, max(k - 1, 0))
+    deg = jnp.where(A.valid_mask(), deg_b[a_cols], 0)
+    starts = ends - deg
+    # in-window expansion schedule: markers at clipped run starts
+    s_clip = jnp.clip(starts - offset, 0, cap)
+    marks = (
+        jnp.zeros((cap,), jnp.int32).at[s_clip].add(1, mode="drop")
+    )
+    src = jnp.cumsum(marks) - 1
+    src_c = jnp.clip(src, 0, max(A.cols.shape[0] - 1, 0))
+    t = jnp.arange(cap, dtype=ends.dtype) + offset
+    local = (t - starts[src_c]).astype(jnp.int32)
+    total = ends[-1] if ends.shape[0] else jnp.zeros((), ends.dtype)
+    slot_valid = t < total
+
+    i = A.row_ids[src_c]
+    a_val = A.values[src_c]
+    b_pos = jnp.clip(B.indptr[a_cols[src_c]] + local, 0,
+                     max(B.capacity - 1, 0))
+    j = B.cols[b_pos]
+    b_val = B.values[b_pos]
+    prod = op_mul(a_val, b_val)
+
+    rows = jnp.where(slot_valid, i, m).astype(jnp.int32)
+    cols = jnp.where(slot_valid, j, n).astype(jnp.int32)
+    rows, cols, prod, slot_valid = lax.sort(
+        (rows, cols, prod, slot_valid), num_keys=2
+    )
+    heads = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])]
+    )
+    run_id = (jnp.cumsum(heads) - 1).astype(jnp.int32)
+    folded, has = segment_fold(prod, run_id, slot_valid, cap, op_add, init_a)
+    (head_pos,) = jnp.nonzero(heads, size=cap, fill_value=cap)
+    head_c = jnp.clip(head_pos, 0, cap - 1)
+    run_rows = jnp.where(head_pos < cap, rows[head_c], m)
+    run_cols = jnp.where(head_pos < cap, cols[head_c], n)
+    keep = has & (run_rows < m)  # init-sparsification deferred to merge
+
+    (pos,) = jnp.nonzero(keep, size=cap, fill_value=cap)
+    posc = jnp.clip(pos, 0, cap - 1)
+    ok = pos < cap
+    return (
+        jnp.where(ok, run_rows[posc], m).astype(jnp.int32),
+        jnp.where(ok, run_cols[posc], n).astype(jnp.int32),
+        jnp.where(ok, folded[posc], init_a),
+        jnp.sum(keep).astype(jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("op_add", "cap", "m", "n"))
+def _mxm_merge(rows, cols, vals, init_a, op_add, cap, m, n):
+    """Final cross-window merge: entries of rows straddling window
+    boundaries are folded; init-valued results dropped (reference
+    ``cpu_mxm.hpp:109-113``)."""
+    rows, cols, vals = lax.sort((rows, cols, vals), num_keys=2)
+    valid = rows < m
+    heads = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])]
+    )
+    run_id = (jnp.cumsum(heads) - 1).astype(jnp.int32)
+    folded, has = segment_fold(vals, run_id, valid, cap, op_add, init_a)
+    (head_pos,) = jnp.nonzero(heads, size=cap, fill_value=cap)
+    head_c = jnp.clip(head_pos, 0, cap - 1)
+    run_rows = jnp.where(head_pos < cap, rows[head_c], m)
+    run_cols = jnp.where(head_pos < cap, cols[head_c], n)
+    keep = has & (run_rows < m) & (folded != init_a)
+    (pos,) = jnp.nonzero(keep, size=cap, fill_value=cap)
+    posc = jnp.clip(pos, 0, cap - 1)
+    ok = pos < cap
+    coo = CooMatrix(
+        shape=(m, n),
+        rows=jnp.where(ok, run_rows[posc], m).astype(jnp.int32),
+        cols=jnp.where(ok, run_cols[posc], 0).astype(jnp.int32),
+        values=jnp.where(ok, folded[posc], init_a),
+        nnz=jnp.sum(keep).astype(jnp.int32),
+        fill=init_a,
+    )
+    return coo_to_csr(coo)
+
+
+def _mxm_blocked(A, B, init_a, op_mul, op_add, total, blk):
+    """Product-window-blocked numeric phase (eager loop over windows, one
+    compiled program reused for every window)."""
+    m, k = A.shape
+    _, n = B.shape
+    deg_b = jnp.diff(B.indptr)
+    a_cols = jnp.clip(A.cols, 0, max(k - 1, 0))
+    ends = jnp.cumsum(jnp.where(A.valid_mask(), deg_b[a_cols], 0))
+    nb = -(-total // blk)
+    parts_r, parts_c, parts_v = [], [], []
+    kept_total = 0
+    for b in range(nb):
+        r, c, v, cnt = _mxm_block_pass(
+            A, B, init_a, ends, jnp.asarray(b * blk, ends.dtype),
+            op_mul, op_add, blk,
+        )
+        cnt_i = int(np.asarray(cnt))
+        # quantized trim keeps the eager slice shapes from exploding the
+        # compile cache while transferring ~only the kept entries
+        pad = min(-(-max(cnt_i, 1) // 65536) * 65536, blk)
+        parts_r.append(r[:pad])
+        parts_c.append(c[:pad])
+        parts_v.append(v[:pad])
+        kept_total += pad
+    rows = jnp.concatenate(parts_r)
+    cols = jnp.concatenate(parts_c)
+    vals = jnp.concatenate(parts_v)
+    return _mxm_merge(rows, cols, vals, init_a, op_add, int(kept_total),
+                      m, n)
 
 
 @partial(

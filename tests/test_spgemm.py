@@ -103,3 +103,48 @@ def test_mxmT_masked_nonscatter_monoid():
                         acc |= int(d[i, k] * d[j, k])
                 ref[i, j] = acc
     np.testing.assert_array_equal(got, ref)
+
+
+# -- row/product-blocked numeric phase (O(block + output) memory) -----------
+
+
+@pytest.mark.parametrize("blk", [256, 1024, 5000])
+def test_mxm_blocked_matches_unblocked(blk):
+    rng = np.random.default_rng(31)
+    a = sp.random(120, 90, density=0.15, random_state=31, dtype=np.float32)
+    b = sp.random(90, 110, density=0.12, random_state=32, dtype=np.float32)
+    Ac = F.csr_from_scipy(a)
+    Bc = F.csr_from_scipy(b)
+    from spla_tpu.ops.spgemm import count_mxm_products
+    total = count_mxm_products(Ac, Bc)
+    assert total > blk  # the block loop must actually trigger
+    R = mxm(Ac, Bc, op.MULT_FLOAT, op.PLUS_FLOAT, 0.0, block_products=blk)
+    ref = (a @ b).toarray()
+    got = np.zeros_like(ref)
+    nnz = int(np.asarray(R.nnz))
+    rows = np.asarray(R.row_ids)[:nnz]
+    cols = np.asarray(R.cols)[:nnz]
+    vals = np.asarray(R.values)[:nnz]
+    got[rows, cols] = vals
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mxm_blocked_minplus():
+    # non-PLUS monoid across window boundaries (straddling rows fold by MIN)
+    a = sp.random(60, 60, density=0.2, random_state=33, dtype=np.float32)
+    a.data += 0.1
+    Ac = F.csr_from_scipy(a)
+    R = mxm(Ac, Ac, op.PLUS_FLOAT, op.MIN_FLOAT, float("inf"),
+            block_products=128)
+    d = np.where(a.toarray() != 0, a.toarray(), np.inf)
+    ref = np.full((60, 60), np.inf, np.float32)
+    for i in range(60):
+        for j in range(60):
+            ref[i, j] = np.min(d[i] + d[:, j])
+    nnz = int(np.asarray(R.nnz))
+    got = np.full((60, 60), np.inf, np.float32)
+    got[np.asarray(R.row_ids)[:nnz], np.asarray(R.cols)[:nnz]] = (
+        np.asarray(R.values)[:nnz])
+    finite = np.isfinite(ref)
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-5)
+    assert np.all(np.isinf(got[~finite]))
