@@ -39,6 +39,15 @@ def build_graph(n=1 << 21, deg=16, seed=0):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler device trace of the "
+                         "timed loop (reference analog: CL event "
+                         "profiling, cl_debug.hpp:36-103)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -104,6 +113,21 @@ def main():
         out = np.asarray(jnp.sum(jnp.abs(y)))  # scalar: 4-byte transfer
         best = min(best, (time.perf_counter() - t0) / iters)
     dt = best
+
+    if args.profile:
+        # separate device time from tunnel jitter: a short traced run
+        # whose profile (perfetto/tensorboard format) carries per-kernel
+        # device durations
+        trace_dir = "/tmp/spla_tpu_trace"
+        try:
+            with jax.profiler.trace(trace_dir):
+                y = x
+                for k in range(10):
+                    y = step(fmt, y, jnp.float32(k))
+                np.asarray(jnp.sum(jnp.abs(y)))
+            print(f"device trace captured: {trace_dir}", flush=True)
+        except Exception as e:  # pragma: no cover - transport dependent
+            print(f"trace capture unavailable: {e}", flush=True)
     assert float(out) > 0
     # sanity: a reported number above the HBM roofline means the timing
     # was gamed by the runtime; refuse to publish it

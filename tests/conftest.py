@@ -8,18 +8,26 @@ exercised by the same tests when hardware is present.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# SPLA_TEST_TPU=1 runs the hardware lane (tests/test_tpu_hw.py) on the
+# real chip instead of forcing the CPU backend — the reference analog of
+# compiling the gtest main with a real OpenCL platform id
+# (tests/test_common.hpp:66-89).
+_TPU_LANE = bool(os.environ.get("SPLA_TEST_TPU"))
+
+if not _TPU_LANE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
 # (must happen before any backend is touched).
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,100 @@
+"""Real-hardware test lane: compiled Pallas kernels on an actual TPU.
+
+Run with ``SPLA_TEST_TPU=1 python -m pytest tests/test_tpu_hw.py -q`` —
+skipped entirely otherwise (the default suite runs the same kernels in
+interpret mode on CPU; this lane is the reference analog of the gtest
+mains compiled against a real OpenCL device, tests/test_common.hpp:66-89).
+Shapes are kept small; most wall time is remote kernel compilation.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPLA_TEST_TPU")
+    or jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="hardware lane: set SPLA_TEST_TPU=1 with a real TPU attached",
+)
+
+
+def _graph(n=20000, deg=8, seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, n, n * deg // 2, dtype=np.int32)
+    c = rng.integers(0, n, n * deg // 2, dtype=np.int32)
+    keep = r != c
+    A = sp.coo_matrix((np.ones(keep.sum(), np.float32), (r[keep], c[keep])),
+                      shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float32).tocsr()
+    A.sort_indices()
+    return A
+
+
+def test_fused_spmv_hw():
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays, fused_cell_spmv_apply)
+
+    A = _graph()
+    coo = A.tocoo()
+    fmt = build_fused_cell_spmv_arrays(
+        A.shape[0], A.shape[1], coo.row.astype(np.int32),
+        coo.col.astype(np.int32), coo.data)
+    assert fmt is not None
+    x = np.random.default_rng(1).random(A.shape[1], dtype=np.float32)
+    r = np.asarray(fused_cell_spmv_apply(
+        fmt, jnp.asarray(x), op_mul=lambda a, b: a * b, op_add=jnp.add,
+        identity=0.0))
+    ref = A @ x
+    assert np.abs(r - ref).max() / (np.abs(ref).max() + 1e-9) < 1e-5
+
+
+def test_adaptive_sparse_frontier_hw():
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays, fused_cell_spmv_apply_adaptive)
+
+    A = _graph(seed=2)
+    coo = A.tocoo()
+    fmt = build_fused_cell_spmv_arrays(
+        A.shape[0], A.shape[1], coo.row.astype(np.int32),
+        coo.col.astype(np.int32), coo.data)
+    x = np.zeros(A.shape[1], np.float32)
+    x[50:80] = 1.0
+    r = np.asarray(fused_cell_spmv_apply_adaptive(
+        fmt, jnp.asarray(x), op_mul=lambda a, b: a * b, op_add=jnp.add,
+        identity=0.0, front_factor=jnp.float32(1.0)))
+    np.testing.assert_allclose(r, A @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_mxmT_reduce_hw():
+    from spla_tpu.pallas.mxmt import pairs_available, pallas_mxmT_reduce
+
+    if not pairs_available():
+        pytest.skip("no native toolchain")
+    A = _graph(n=4000, deg=10, seed=3)
+    coo = A.tocoo()
+    r = pallas_mxmT_reduce(coo.row, coo.col, A.indptr, A.indices, A.data,
+                           A.indptr, A.indices, A.data)
+    ref = (A @ A.T).multiply(A).sum()
+    assert abs(r - ref) < 0.5
+
+
+def test_bfs_sssp_hw():
+    from spla_tpu import algorithms as alg
+    from spla_tpu import formats as F
+
+    A = _graph(n=6000, deg=6, seed=4)
+    Ac = F.csr_from_scipy(A)
+    lev = np.asarray(alg.bfs(Ac, 0).values)
+    import scipy.sparse.csgraph as cg
+    ref = cg.shortest_path(A, method="D", unweighted=True, indices=0)
+    finite = np.isfinite(ref)
+    assert np.all(lev[finite] == ref[finite] + 1)
+    assert np.all(lev[~finite] == 0)
+    dist = np.asarray(alg.sssp(Ac, 0).values)
+    refd = cg.dijkstra(A, indices=0)
+    np.testing.assert_allclose(dist[finite], refd[finite], rtol=1e-5)
