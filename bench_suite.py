@@ -50,6 +50,10 @@ def main():
 
     from spla_tpu import algorithms as alg
     from spla_tpu import formats as F
+    from spla_tpu import FLOAT as spla_FLOAT
+    FLOAT_MULT = spla_FLOAT.MULT
+    FLOAT_PLUS = spla_FLOAT.PLUS
+    FLOAT_ALWAYS = spla_FLOAT.ALWAYS
 
     n = 1 << (16 if args.small else 20)
     deg = 16
@@ -137,6 +141,66 @@ def main():
     dtr = time.perf_counter() - t0
     emit("road_bfs_gteps", Ard.nnz / dtr / 1e9, "GTEPS", n=nrd,
          nnz=int(Ard.nnz), levels=int(lv.max()), ms=round(dtr * 1e3, 1),
+         device=dev)
+
+    # ---- facade chained ops vs functional layer ----
+    # device-resident facade criterion: a 10-op chained pipeline through
+    # the pyspla-parity objects must stay within ~2x of the functional
+    # layer (round-1 verdict item: no host round-trip per op)
+    from spla_tpu import facade as FC
+
+    nf = 1 << (14 if args.small else 18)
+    Af = random_graph(nf, 8, seed=7)
+    deg_f = np.asarray(Af.sum(axis=0)).ravel()
+    Sf = (Af @ __import__("scipy.sparse", fromlist=["diags"]).diags(
+        0.85 / np.maximum(deg_f, 1))).tocsr().astype(np.float32)
+    Mf = FC.Matrix.from_scipy(Sf) if hasattr(FC.Matrix, "from_scipy") else None
+    if Mf is None:
+        coo_f = Sf.tocoo()
+        Mf = FC.Matrix.from_lists(
+            coo_f.row.tolist(), coo_f.col.tolist(), coo_f.data.tolist(),
+            (nf, nf), spla_FLOAT)
+    vf = FC.Vector.from_lists(list(range(0, nf, max(nf // 1024, 1))),
+                              [1.0] * len(range(0, nf, max(nf // 1024, 1))),
+                              nf, spla_FLOAT)
+    maskf = FC.Vector(nf, spla_FLOAT)
+    CH = 10
+
+    def chain_facade():
+        r = vf
+        for _ in range(CH):
+            r = r.vxm(maskf, Mf, FLOAT_MULT, FLOAT_PLUS, FLOAT_ALWAYS)
+        return float(r.reduce(FLOAT_PLUS).get())
+
+    chain_facade()  # warm-up
+    t0 = time.perf_counter()
+    tot = chain_facade()
+    dtf = time.perf_counter() - t0
+
+    from spla_tpu.ops import vxm_masked
+    from spla_tpu import formats as F2
+
+    Ac2 = F2.csr_from_scipy(Sf)
+    At2 = F2.csr_transpose_host(Ac2)
+    x0 = np.zeros(nf, np.float32)
+    x0[:: max(nf // 1024, 1)] = 1.0
+
+    def chain_fn():
+        import spla_tpu
+        r = spla_tpu.DenseVec(jnp.asarray(x0), jnp.float32(0))
+        from spla_tpu import op as OPm
+        for _ in range(CH):
+            rr, _ = __import__("spla_tpu.ops.spmv", fromlist=["masked_spmv"]).masked_spmv(
+                At2, r.values, OPm.MULT_FLOAT, OPm.PLUS_FLOAT, jnp.float32(0))
+            r = spla_tpu.DenseVec(rr, jnp.float32(0))
+        return float(np.asarray(jnp.sum(r.values)))
+
+    chain_fn()
+    t0 = time.perf_counter()
+    tot2 = chain_fn()
+    dtfn = time.perf_counter() - t0
+    emit("facade_chain_ratio", dtf / max(dtfn, 1e-9), "x-functional",
+         n=nf, facade_ms=round(dtf * 1e3, 1), functional_ms=round(dtfn * 1e3, 1),
          device=dev)
 
     # ---- SpGEMM (masked mxmT, triangle counting core) ----

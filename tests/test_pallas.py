@@ -558,3 +558,36 @@ def test_best_monoid_format_prefers_fused():
     A = F2.csr_from_scipy(a)
     fmt, ap = get_best_monoid_format(A)
     assert isinstance(fmt, FusedCellSpmv)
+
+
+def test_fused_pattern_layout_structural():
+    # layout 3: value rows elided; traversal over the pattern
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays, fused_cell_spmv_apply,
+        fused_cell_spmv_apply_adaptive)
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(41)
+    n = 1500
+    a = sp.random(n, n, density=0.01, random_state=41, dtype=np.float32)
+    coo = a.tocoo()
+    fmt = build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        np.ones_like(coo.data), cw=1024, pattern=True)
+    assert fmt is not None and fmt.layout == 3
+    front = (rng.random(n) < 0.05).astype(np.float32)
+    hits = np.asarray(fused_cell_spmv_apply(
+        fmt, jnp.asarray(front), op_mul=lambda av, xv: xv,
+        op_add=jnp.maximum, identity=0.0))
+    ref = ((a.tocsr() @ front) > 0).astype(np.float32)
+    np.testing.assert_array_equal(hits > 0, ref > 0)
+    # sparse-frontier adaptive path on the pattern layout
+    front2 = np.zeros(n, np.float32)
+    front2[7] = 1.0
+    hits2 = np.asarray(fused_cell_spmv_apply_adaptive(
+        fmt, jnp.asarray(front2), op_mul=lambda av, xv: xv,
+        op_add=jnp.maximum, identity=0.0, front_factor=jnp.float32(1.0)))
+    ref2 = ((a.tocsr() @ front2) > 0).astype(np.float32)
+    np.testing.assert_array_equal(hits2 > 0, ref2 > 0)
