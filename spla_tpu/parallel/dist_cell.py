@@ -2,14 +2,15 @@
 
 The scaling recipe from BASELINE.json's north star: block-row partition
 per chip, dense halo vectors all-gathered over ICI, and the single-chip
-Pallas monoid kernel (``spla_tpu.pallas.spmv``) as the per-shard compute
+fused Pallas kernel (``spla_tpu.pallas.spmv``) as the per-shard compute
 — collectives ride XLA, the kernel rides Mosaic, and the convergence
 loops stay on device.
 
-Each shard gets its own host-packed cell layout of its row block (rows
-local, columns global over the padded gather frame); shards are padded
-with inert tiles to a common tile count so ``shard_map`` sees equal
-shapes.
+Each shard gets its own host-packed fused cell layout of its row block
+(rows local, columns global over the padded gather frame); shards are
+padded with inert tiles to a common tile count so ``shard_map`` sees
+equal shapes (zero-filled fused rows have the valid bit clear, so their
+scatter delta is the identity — a no-op on the resident output).
 """
 
 from __future__ import annotations
@@ -27,8 +28,10 @@ from jax.sharding import PartitionSpec as P
 
 from ..containers import CsrMatrix
 from ..pallas.spmv import (
-    MonoidCellSpmv,
-    build_monoid_cell_spmv_arrays,
+    FUSED_K,
+    FusedCellSpmv,
+    build_fused_cell_spmv_arrays,
+    fused_cell_spmv_apply,
 )
 
 __all__ = [
@@ -42,29 +45,25 @@ __all__ = [
 
 @dataclass(frozen=True)
 class ShardedCellSpmv:
-    """Per-shard monoid cell layouts stacked on a leading shard axis."""
+    """Per-shard fused cell layouts stacked on a leading shard axis."""
 
     m: int  # global rows
     n: int  # global cols (= n_shards * mloc for square operators)
     mloc: int
     n_shards: int
     cw: int
-    n_tiles: int  # per shard (padded to max)
+    n_tiles: int  # per shard (padded to max, multiple of FUSED_K)
     n_row_blocks: int  # per shard
-    vals: jax.Array  # [S, T, 8, 128]
-    packed: jax.Array  # [S, T, 8, 128]
-    route: jax.Array  # [S, T, cw//128, 128]
-    invl: jax.Array  # [S, T, 8, 128]
+    fused: jax.Array  # [S, T//2, 56, 128] int32 (layout 1)
     rb_of_tile: jax.Array  # [S, T]
-    wb_of_tile: jax.Array  # [S, T]
-    is_first: jax.Array  # [S, T]
+    wb_of_batch: jax.Array  # [S, T // FUSED_K]
 
 
 jax.tree_util.register_dataclass(
     ShardedCellSpmv,
-    data_fields=["vals", "packed", "route", "invl", "rb_of_tile",
-                 "wb_of_tile", "is_first"],
-    meta_fields=["m", "n", "mloc", "n_shards", "cw", "n_tiles", "n_row_blocks"],
+    data_fields=["fused", "rb_of_tile", "wb_of_batch"],
+    meta_fields=["m", "n", "mloc", "n_shards", "cw", "n_tiles",
+                 "n_row_blocks"],
 )
 
 
@@ -72,7 +71,7 @@ def shard_cell_spmv(
     A: CsrMatrix, n_shards: int, mesh: Mesh | None = None,
     cw: int = 16384, axis: str = "d", values=None,
 ) -> ShardedCellSpmv | None:
-    """Host-side: block-row partition + per-shard monoid cell packing.
+    """Host-side: block-row partition + per-shard fused cell packing.
 
     ``values`` optionally overrides A's values (e.g. all-ones pattern for
     structural BFS).  Returns None when the native packer is unavailable.
@@ -90,7 +89,7 @@ def shard_cell_spmv(
     for s in range(n_shards):
         lo, hi = s * mloc, min((s + 1) * mloc, m)
         sel = (rows >= lo) & (rows < hi)
-        f = build_monoid_cell_spmv_arrays(
+        f = build_fused_cell_spmv_arrays(
             mloc, n_pad, (rows[sel] - lo).astype(np.int32),
             cols[sel].astype(np.int32), vals[sel].astype(np.float32), cw=cw,
         )
@@ -98,34 +97,32 @@ def shard_cell_spmv(
             return None
         fmts.append(f)
 
-    T = max(f.n_tiles for f in fmts)
+    T = max(f.n_tiles for f in fmts)  # each a multiple of FUSED_K already
 
     def padded(get, fill, dtype, pad_last=False):
         out = []
         for f in fmts:
             a = np.asarray(get(f))
-            if a.shape[0] < T:
+            want = {"fused": T // 2, "rb": T, "wb": T // FUSED_K}[
+                "fused" if a.ndim == 3 else ("rb" if a.shape[0] == f.n_tiles
+                                             else "wb")]
+            if a.shape[0] < want:
                 fv = a[-1] if pad_last else fill
-                pad = np.full((T - a.shape[0],) + a.shape[1:], fv, dtype)
+                pad = np.full((want - a.shape[0],) + a.shape[1:], fv, dtype)
                 a = np.concatenate([a, pad])
             out.append(a)
         return jnp.asarray(np.stack(out))
 
-    cwr = cw // 128
     sc = ShardedCellSpmv(
         m=m, n=n, mloc=mloc, n_shards=n_shards, cw=cw, n_tiles=T,
         n_row_blocks=fmts[0].n_row_blocks,
-        vals=padded(lambda f: f.vals, 0, np.float32),
-        packed=padded(lambda f: f.packed, 0, np.int32),  # valid bits clear
-        route=padded(lambda f: f.route, 0, np.int8),
-        invl=padded(lambda f: f.invl, 0, np.int8),
-        # pad tiles must repeat the LAST tile's (rb, wb): the Pallas output
-        # pipeline requires each output block be visited by CONSECUTIVE grid
-        # steps only — rb=0 pads after later row blocks would overwrite row
-        # block 0 with a stale accumulator on real hardware
-        rb_of_tile=padded(lambda f: f.rb_of_tile, 0, np.int32, pad_last=True),
-        wb_of_tile=padded(lambda f: f.wb_of_tile, 0, np.int32, pad_last=True),
-        is_first=padded(lambda f: f.is_first, 0, np.int32),
+        # zero fused rows = valid bit clear = identity delta (inert)
+        fused=padded(lambda f: f.fused, 0, np.int32),
+        rb_of_tile=padded(lambda f: f.rb_of_tile, 0, np.int32),
+        # pad batches repeat the LAST window index so their x-block DMA
+        # is elided (index unchanged between grid steps)
+        wb_of_batch=padded(lambda f: f.wb_of_batch, 0, np.int32,
+                           pad_last=True),
     )
     if mesh is not None:
         shard = NamedSharding(mesh, P(axis))
@@ -138,19 +135,18 @@ def _meta(sc: ShardedCellSpmv):
     return (sc.m, sc.mloc, sc.n_shards, sc.cw, sc.n_tiles, sc.n_row_blocks)
 
 
-def _local_fmt(meta, arrs) -> MonoidCellSpmv:
+def _local_fmt(meta, arrs) -> FusedCellSpmv:
     m, mloc, n_shards, cw, n_tiles, n_rb = meta
-    vals, packed, route, invl, rb, wb, first = arrs
-    return MonoidCellSpmv(
+    fused, rb, wb = arrs
+    return FusedCellSpmv(
         m=mloc, n=n_shards * mloc, cw=cw,
         n_row_blocks=n_rb, n_tiles=n_tiles,
-        vals=vals[0], packed=packed[0], route=route[0], invl=invl[0],
-        rb_of_tile=rb[0], wb_of_tile=wb[0], is_first=first[0],
-        slots=n_tiles * 1024, nnz=0,
+        fused=fused[0], rb_of_tile=rb[0], wb_of_batch=wb[0],
+        slots=n_tiles * 1024, nnz=0, layout=1,
     )
 
 
-_ARRS = ("vals", "packed", "route", "invl", "rb_of_tile", "wb_of_tile", "is_first")
+_ARRS = ("fused", "rb_of_tile", "wb_of_batch")
 
 
 def _arrs(sc):
@@ -172,8 +168,6 @@ def _structural(av, xv):
 @partial(jax.jit, static_argnames=("mesh", "axis", "meta"))
 def _dist_pr_pallas(mesh, arrs, alpha, eps, meta, axis):
     def step(*arrs):
-        from ..pallas.spmv import monoid_cell_spmv_apply
-
         fmt = _local_fmt(meta, arrs)
         my = lax.axis_index(axis)
         n, mloc = meta[0], meta[1]
@@ -183,22 +177,25 @@ def _dist_pr_pallas(mesh, arrs, alpha, eps, meta, axis):
         p0 = jnp.where(live, jnp.full((mloc,), 1.0 / n, jnp.float32), 0.0)
 
         def cond(state):
-            return state[1] > eps
+            # iteration cap: f32 error can plateau above a tiny eps forever
+            return (state[1] > eps) & (state[2] < 10_000)
 
         def body(state):
-            p_prev, _ = state
+            p_prev, _, it = state
             p_full = lax.all_gather(p_prev, axis, tiled=True)
-            ap = monoid_cell_spmv_apply(
+            ap = fused_cell_spmv_apply(
                 fmt, p_full, op_mul=_mult, op_add=jnp.add, identity=0.0
             )
             p = jnp.where(live, ap + addition, 0.0)
             err2 = lax.psum(jnp.sum((p - p_prev) ** 2), axis)
-            return (p, jnp.sqrt(err2))
+            return (p, jnp.sqrt(err2), it + 1)
 
-        p, _ = lax.while_loop(cond, body, (p0, jnp.float32(eps) + 0.1))
+        p, _, _ = lax.while_loop(
+            cond, body, (p0, jnp.float32(eps) + 0.1, jnp.int32(0))
+        )
         return p[None]
 
-    f = jax.shard_map(step, mesh=mesh, in_specs=(P(axis),) * 7,
+    f = jax.shard_map(step, mesh=mesh, in_specs=(P(axis),) * 3,
                       out_specs=P(axis), check_vma=False)
     return f(*arrs)
 
@@ -214,8 +211,6 @@ def dist_pagerank_pallas(mesh: Mesh, sc: ShardedCellSpmv, alpha, eps, axis="d"):
 @partial(jax.jit, static_argnames=("mesh", "axis", "meta"))
 def _dist_bfs_pallas(mesh, arrs, source, meta, axis):
     def step(*arrs):
-        from ..pallas.spmv import monoid_cell_spmv_apply
-
         fmt = _local_fmt(meta, arrs)
         my = lax.axis_index(axis)
         mloc = meta[1]
@@ -224,13 +219,13 @@ def _dist_bfs_pallas(mesh, arrs, source, meta, axis):
         front0 = jnp.where(gids == source, 1.0, 0.0)
 
         def cond(state):
-            return state[3] > 0
+            return (state[3] > 0) & (state[2] < jnp.int32(meta[0] + 2))
 
         def body(state):
             v, front, depth, _ = state
             v = jnp.where(front > 0, depth, v)
             front_full = lax.all_gather(front, axis, tiled=True)
-            hits = monoid_cell_spmv_apply(
+            hits = fused_cell_spmv_apply(
                 fmt, front_full, op_mul=_structural, op_add=jnp.maximum,
                 identity=0.0, skip_inactive=True,
             )
@@ -243,7 +238,7 @@ def _dist_bfs_pallas(mesh, arrs, source, meta, axis):
         )
         return v[None]
 
-    f = jax.shard_map(step, mesh=mesh, in_specs=(P(axis),) * 7,
+    f = jax.shard_map(step, mesh=mesh, in_specs=(P(axis),) * 3,
                       out_specs=P(axis), check_vma=False)
     return f(*arrs)
 
@@ -259,8 +254,6 @@ def dist_bfs_pallas(mesh: Mesh, sc: ShardedCellSpmv, source, axis="d"):
 @partial(jax.jit, static_argnames=("mesh", "axis", "meta"))
 def _dist_sssp_pallas(mesh, arrs, source, meta, axis):
     def step(*arrs):
-        from ..pallas.spmv import monoid_cell_spmv_apply
-
         fmt = _local_fmt(meta, arrs)
         my = lax.axis_index(axis)
         mloc = meta[1]
@@ -269,23 +262,23 @@ def _dist_sssp_pallas(mesh, arrs, source, meta, axis):
         v0 = jnp.where(gids == source, 0.0, inf)
 
         def cond(state):
-            return state[1] > 0
+            return (state[1] > 0) & (state[2] < jnp.int32(4 * meta[0] + 2))
 
         def body(state):
-            v, _ = state
+            v, _, it = state
             v_full = lax.all_gather(v, axis, tiled=True)
-            frontier = monoid_cell_spmv_apply(
+            frontier = fused_cell_spmv_apply(
                 fmt, v_full, op_mul=_minplus, op_add=jnp.minimum,
                 identity=float("inf"), skip_inactive=True,
             )
             new_v = jnp.minimum(v, frontier)
             changed = lax.psum(jnp.sum(new_v != v).astype(jnp.int32), axis)
-            return (new_v, changed)
+            return (new_v, changed, it + 1)
 
-        v, _ = lax.while_loop(cond, body, (v0, jnp.int32(1)))
+        v, _, _ = lax.while_loop(cond, body, (v0, jnp.int32(1), jnp.int32(0)))
         return v[None]
 
-    f = jax.shard_map(step, mesh=mesh, in_specs=(P(axis),) * 7,
+    f = jax.shard_map(step, mesh=mesh, in_specs=(P(axis),) * 3,
                       out_specs=P(axis), check_vma=False)
     return f(*arrs)
 
