@@ -63,6 +63,23 @@ class Scalar:
         return cls(value, dtype)
 
     @classmethod
+    def from_value(cls, value):
+        """Create a scalar inferring the type from the Python value
+        (reference ``scalar.py:142-166``)."""
+        if isinstance(value, bool):
+            return cls(int(value), INT)
+        if isinstance(value, float):
+            return cls(value, FLOAT)
+        if isinstance(value, int):
+            return cls(value, INT)
+        raise Exception("cannot infer type")
+
+    @property
+    def n_vals(self):
+        """Number of stored values — always 1 (reference ``scalar.py:128``)."""
+        return 1
+
+    @classmethod
     def make_int(cls, value=0):
         return cls(value, INT)
 
@@ -207,6 +224,8 @@ class Array:
     def n_values(self):
         return int(self._data.size)
 
+    n_vals = n_values  # reference property name (``array.py:105``)
+
     @property
     def empty(self):
         return self._data.size == 0
@@ -234,6 +253,19 @@ class Array:
 
     def to_numpy(self):
         return self._data.copy()
+
+    def build(self, view: "MemView"):
+        """Build the array content from a raw memory view (reference
+        ``array.py:157-165``)."""
+        raw = view.to_numpy()
+        self._data = np.frombuffer(
+            raw.tobytes(), dtype=self._dtype.np_dtype
+        ).copy()
+
+    def read(self) -> "MemView":
+        """Read the content as a zero-copy MemView (reference
+        ``array.py:167-176``)."""
+        return MemView(self._data)
 
     def __iter__(self):
         return iter(self.to_list())
