@@ -477,13 +477,25 @@ def tc(A: CsrMatrix, products_cap: int | None = None) -> int:
             rows, cols, vals = host_coo(A)
             indptr = np.asarray(A.indptr)
             keep = vals > 0  # GTZERO select on the mask values
-            av = np.ones_like(vals) if is_pattern else vals
-            r = pallas_mxmT_reduce(
-                rows[keep], cols[keep], indptr, cols, av, indptr, cols, av,
-                cache_key=A.values, tag=("tc", is_pattern),
-            )
-            if r is not None:
-                return int(round(r))
+            av = np.ones_like(vals, np.float32) if is_pattern else vals
+            # f32 exactness gates for the fused reduce: every product and
+            # per-lane partial must stay < 2^24 (cf. _pallas_mxmT_try)
+            deg_max = float(np.diff(indptr).max(initial=0))
+            vmax = 1.0 if is_pattern else float(np.abs(vals).max(initial=0.0))
+            prod_bound = vmax * vmax
+            # per-lane accumulation across the grid: total products / 1024
+            # lanes (uniformly sheared by the job layout) with headroom 4x
+            from .ops.spgemm import count_mxmT_products
+
+            total_products = float(count_mxmT_products(A, A))
+            lane_bound = prod_bound * 4.0 * total_products / 1024.0
+            if prod_bound * deg_max < float(1 << 24) and lane_bound < float(1 << 24):
+                r = pallas_mxmT_reduce(
+                    rows[keep], cols[keep], indptr, cols, av, indptr, cols,
+                    av, cache_key=A.values, tag=("tc", is_pattern),
+                )
+                if r is not None:
+                    return int(round(r))
     B = mxmT_masked(
         A, A, A, OP.MULT_INT, OP.PLUS_INT, OP.GTZERO_INT, 0,
         products_cap=products_cap, struct_only=is_pattern,

@@ -159,12 +159,6 @@ class MemView:
 
     def __init__(self, array):
         self._np = np.asarray(array)
-        if not self._np.flags.c_contiguous:
-            # reshape(-1) on a non-contiguous array copies, so write()
-            # would silently modify the copy instead of the caller's array
-            raise ValueError(
-                "MemView requires a C-contiguous array (use np.ascontiguousarray)"
-            )
 
     @staticmethod
     def make(array) -> "MemView":
@@ -180,6 +174,14 @@ class MemView:
         return flat[offset:end]
 
     def write(self, offset, data):
+        if not self._np.flags.c_contiguous:
+            # reshape(-1) on a non-contiguous array copies, so the write
+            # would silently land in the copy, not the caller's array;
+            # read-only uses (read/to_numpy/build) stay permitted
+            raise ValueError(
+                "MemView.write requires a C-contiguous array "
+                "(use np.ascontiguousarray)"
+            )
         flat = self._np.reshape(-1).view(np.uint8)
         data = np.frombuffer(bytes(data), np.uint8)
         flat[offset : offset + data.size] = data
@@ -345,6 +347,7 @@ class Vector:
         return np.asarray(self._device().values[i])[()].item()
 
     def build(self, view_I, view_V):
+        self._fill  # materialize from the device cache before dropping it
         self._idx = np.asarray(view_I, np.int64).copy()
         self._val = np.asarray(view_V, self._dtype.np_dtype).copy()
         self._dense_cache = None
@@ -359,6 +362,7 @@ class Vector:
         return idx, d[idx]
 
     def clear(self):
+        self._fill  # materialize from the device cache before dropping it
         self._idx = np.zeros(0, np.int64)
         self._val = np.zeros(0, self._dtype.np_dtype)
         self._dense_cache = None
@@ -369,6 +373,7 @@ class Vector:
         self._fill_np = self._dtype.np_dtype.type(_sval(value))
 
     def fill_noize(self, seed=None):
+        self._fill  # materialize from the device cache before dropping it
         rng = np.random.default_rng(seed)
         self._idx = np.arange(self._n)
         self._val = (
@@ -578,6 +583,8 @@ class Matrix:
         self._reduce_fn = op
 
     def _invalidate(self):
+        if self._csr_cache is not None:
+            self._fill  # materialize the fill value before the drop
         self._csr_cache = None
         self._csr_t_cache = None
 

@@ -118,15 +118,20 @@ def mxm(
     Past ``MXM_BLOCK_THRESHOLD`` total products (or when
     ``block_products`` is given) the numeric phase runs per product
     window of that many slots, so device memory stays O(block + output)
-    no matter how many products the multiply expands to."""
+    up to 2^31 products per multiply (int32 offset arithmetic)."""
     init_a = _scalar(init, A.values.dtype)
-    total = max(count_mxm_products(A, B), 1)
-    if products_cap is None:
-        products_cap = total
+    if products_cap is None:  # the symbolic pass only when not supplied
+        products_cap = max(count_mxm_products(A, B), 1)
     blk = block_products
     if blk is None and products_cap > MXM_BLOCK_THRESHOLD:
         blk = MXM_BLOCK_P
     if blk is not None and products_cap > blk:
+        # product offsets are int32 on device (jax x64 is off): 2^31
+        # products ~ 34 GB of slots, already past single-chip HBM
+        assert products_cap < (1 << 31), (
+            "blocked mxm supports < 2^31 products per multiply; "
+            "split A by rows for larger multiplies"
+        )
         return _mxm_blocked(A, B, init_a, op_mul, op_add,
                             int(products_cap), int(blk))
     return _mxm_numeric(

@@ -101,15 +101,15 @@ _JOB_CACHE = WeakIdCache()
 _JOB_DISK_MIN = 2_000_000  # mask entries; below this the build is fast
 
 
-def _jobs_disk_path(mrow, mcol, a_vals, b_vals):
+def _jobs_disk_path(mrow, mcol, a_indptr, a_cols, a_vals,
+                    b_indptr, b_cols, b_vals):
     import hashlib
     from .cellpack_native import _cache_dir
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(np.asarray(mrow).tobytes())
-    h.update(np.asarray(mcol).tobytes())
-    h.update(np.asarray(a_vals).tobytes())
-    h.update(np.asarray(b_vals).tobytes())
+    for a in (mrow, mcol, a_indptr, a_cols, a_vals, b_indptr, b_cols,
+              b_vals):  # STRUCTURE included: values alone collide for
+        h.update(np.asarray(a).tobytes())  # struct_only all-ones masks
     return os.path.join(_cache_dir(), f"pairjobs-{h.hexdigest()}.npz")
 
 
@@ -125,7 +125,8 @@ def get_fused_jobs(cache_key, mrow, mcol, a_indptr, a_cols, a_vals,
     jobs = None
     disk = None
     if mrow.size >= _JOB_DISK_MIN and not os.environ.get("SPLA_NO_PACK_CACHE"):
-        disk = _jobs_disk_path(mrow, mcol, a_vals, b_vals)
+        disk = _jobs_disk_path(mrow, mcol, a_indptr, a_cols, a_vals,
+                               b_indptr, b_cols, b_vals)
         if os.path.exists(disk):
             try:
                 with np.load(disk) as z:

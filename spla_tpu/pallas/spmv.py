@@ -1027,13 +1027,16 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
     if abs(init_i) >= _INT_LIM:
         return None
 
-    ok = _FORMAT_CACHE.get(A.values, ("int_ok",))
-    if ok is None:
+    stats = _FORMAT_CACHE.get(A.values, ("int_stats",))
+    if stats is None:
         rows, cols, vals = host_coo(A)
         vmax = float(np.abs(vals.astype(np.int64)).max(initial=0))
-        ok = vmax < _INT_LIM
-        _FORMAT_CACHE.put(A.values, ok, ("int_ok",))
-    if not ok:
+        counts = np.bincount(rows, minlength=A.shape[0])
+        deg_max = float(counts.max(initial=0))
+        stats = (vmax, deg_max)
+        _FORMAT_CACHE.put(A.values, stats, ("int_stats",))
+    vmax, deg_max = stats
+    if vmax >= _INT_LIM:
         return None
 
     combine, identity = _SCATTER_MONOIDS[kind]
@@ -1057,6 +1060,8 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
     raw_mul = _default_mult if op_mul is None else getattr(op_mul, "fn", op_mul)
     init_f = jnp.float32(init_i)
 
+    lim24 = float(1 << 24)
+
     def fn(A_, x, fmt=fmt, mul=raw_mul):
         if isinstance(x, jax.core.Tracer):
             # inside a trace the |x| gate cannot be evaluated; stay exact
@@ -1064,7 +1069,14 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
 
             out, _ = masked_spmv(A_, x, mul, op_add, init)
             return out
-        if float(jnp.max(jnp.abs(x.astype(jnp.float32)))) >= _INT_LIM:
+        # exactness bound: every PRODUCT and every ACCUMULATED partial
+        # must stay < 2^24 (mirrors spgemm._pallas_mxmT_try's gate) —
+        # bounding only the operands is not enough for MULT products or
+        # long PLUS rows
+        xmax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        pmax = (vmax * xmax) if mul_name == "MULT" else (vmax + xmax)
+        accmax = pmax * max(deg_max, 1.0) if kind == "add" else pmax
+        if xmax >= _INT_LIM or accmax + abs(init_i) >= lim24:
             from ..ops.spmv import masked_spmv
 
             out, _ = masked_spmv(A_, x, mul, op_add, init)

@@ -297,10 +297,33 @@ def test_vector_get_single_element():
     assert w._host_stale  # get() is a point read, not a full sync
 
 
-def test_memview_rejects_noncontiguous():
+def test_memview_rejects_noncontiguous_write():
+    # read-only views over non-contiguous memory are allowed (to_numpy /
+    # build consume copies anyway); only write() would silently land in a
+    # reshape copy, so only write() rejects
     import numpy as np
     import pytest
 
     a = np.arange(10)
+    mv = MemView(a[::2])
+    assert mv.to_numpy().tolist() == [0, 2, 4, 6, 8]
     with pytest.raises(ValueError):
-        MemView(a[::2])
+        mv.write(0, b"\x01")
+
+
+def test_op_result_survives_clear_and_rebuild():
+    # regression: _adopt leaves _fill_np=None (device snapshot is the only
+    # fill source); clear()/build()/set() must not lose the fill value
+    from spla_tpu import FLOAT
+
+    v = Vector.from_lists([0, 1], [1.0, 2.0], 4, FLOAT)
+    m = Matrix.from_lists([0, 1], [1, 0], [1.0, 1.0], (4, 4), FLOAT)
+    mask = Vector(4, FLOAT)
+    r = v.vxm(mask, m, FLOAT.MULT, FLOAT.PLUS, FLOAT.ALWAYS)
+    r.clear()
+    r.set(0, 5.0)
+    assert r.to_list() == [(0, 5.0)]
+    B = m.mxm(m, FLOAT.MULT, FLOAT.PLUS)
+    B.clear()
+    B.set(0, 0, 2.0)
+    assert B.get(0, 0) == 2.0
