@@ -1191,10 +1191,8 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     )
 
 
-def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout):
-    # layout 1: 28-row tiles, two per fused block row; layout 2 (two-choice
-    # lanes): 29-row tiles, eight per block row, row 10 = choice bits,
-    # invl at rows 11-12, S-table at rows 13-28
+def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout,
+                       gated=True):
     # layout 1: 28-row tiles, two per fused block row; layout 2 (two-
     # choice lanes): 29 rows, eight per block row, row 10 = choice bits;
     # layout 3 (PATTERN — all values 1.0, the structural-BFS format):
@@ -1213,8 +1211,9 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout):
         def _():
             out_ref[:] = jnp.full_like(out_ref, ident)
 
-        @pl.when(act_ref[wb_ref[c]] == 1)
-        def _():
+        # the window-activity predicate costs ~4 ns/tile on hardware;
+        # only emit it when the caller asked for skipping
+        def tile_body():
             siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             sh8 = (siota % 4) * 8
             sh4 = siota * 4
@@ -1276,6 +1275,13 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout):
                 g0 = rb_ref[c * FUSED_K + j] * 128
                 out_ref[pl.ds(g0, 128)] = op_add(out_ref[pl.ds(g0, 128)], delta)
 
+        if gated:
+            @pl.when(act_ref[wb_ref[c]] == 1)
+            def _():
+                tile_body()
+        else:
+            tile_body()
+
     return kernel
 
 
@@ -1320,7 +1326,7 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
     add = getattr(op_add, "fn", op_add)
     out = pl.pallas_call(
         _make_fused_kernel(fn, add, float(identity), cwr, fmt.n_row_blocks,
-                           fmt.layout),
+                           fmt.layout, gated=skip_inactive),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks * 128, 128),
                                        jnp.float32),
