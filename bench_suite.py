@@ -214,6 +214,24 @@ def main():
     tri = alg.tc(Atc)
     dt = time.perf_counter() - t0
     prods = count_mxmT_products(Atc, Atc)
+
+    # unmasked mxm (ESC / product-window-blocked numeric phase)
+    from spla_tpu.ops import mxm as mxm_op
+    from spla_tpu import op as OPS
+    from spla_tpu.ops.spgemm import count_mxm_products
+    nm = 1 << (11 if args.small else 13)
+    Am = F.csr_from_scipy(random_graph(nm, 16, seed=5))
+    R = mxm_op(Am, Am, OPS.MULT_FLOAT, OPS.PLUS_FLOAT, 0.0)
+    np.asarray(R.nnz)  # warm-up
+    t0 = time.perf_counter()
+    R = mxm_op(Am, Am, OPS.MULT_FLOAT, OPS.PLUS_FLOAT, 0.0)
+    nnz_r = int(np.asarray(R.nnz))
+    dtm = time.perf_counter() - t0
+    prods_m = count_mxm_products(Am, Am)
+    emit("mxm_mprod_s", prods_m / dtm / 1e6, "Mproducts/s", n=nm,
+         nnz=int(np.asarray(Am.nnz)), out_nnz=nnz_r,
+         ms=round(dtm * 1e3, 1), device=dev)
+
     emit("masked_spgemm_mprod_s", prods / dt / 1e6, "Mproducts/s",
          n=nt, nnz=int(At.nnz), triangles_x6=int(tri),
          ms=round(dt * 1e3, 1), device=dev)
