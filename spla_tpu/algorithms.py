@@ -125,13 +125,43 @@ def _bfs_kernel_pallas(fmt, source, monoid=True,
     from .pallas.spmv import (
         FusedCellSpmv,
         cell_spmv_apply,
-        fused_cell_spmv_apply_adaptive,
+        fused_spmv2d_adaptive,
     )
 
     n = fmt.m
+    adaptive = isinstance(fmt, FusedCellSpmv) and fmt.m == fmt.n
+    if adaptive:
+        # 2D-layout loop: for square operators the kernel's padded input
+        # (window-major [nwr, 128]) and output ([n_rb*128, 128]) layouts
+        # coincide, so v/frontier stay 2D across levels — no per-level
+        # flatten/pad round trips (the glue dominated road-graph BFS)
+        cwr = fmt.cw // 128
+        nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+        R = fmt.n_row_blocks * 128  # R >= nwr (both ceil n/128, R coarser)
+        v0 = jnp.zeros((R, 128), jnp.int32)
+        front0 = jnp.zeros((R, 128), jnp.float32).at[
+            source // 128, source % 128].set(1.0)
+
+        def cond2(state):
+            return state[3] > 0
+
+        def body2(state):
+            v, front, depth, _ = state
+            v = jnp.where(front > 0, depth, v)
+            hits = fused_spmv2d_adaptive(
+                fmt, front[:nwr], op_mul=_structural_or, op_add=jnp.maximum,
+                identity=0.0, front_factor=front_factor,
+            )
+            front_new = jnp.where((hits > 0) & (v == 0), 1.0, 0.0)
+            return (v, front_new, depth + 1, jnp.sum(front_new))
+
+        v, _, _, _ = lax.while_loop(
+            cond2, body2, (v0, front0, jnp.int32(1), jnp.float32(1))
+        )
+        return v.reshape(-1)[:n]
+
     v0 = jnp.zeros((n,), jnp.int32)
     front0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
-    adaptive = isinstance(fmt, FusedCellSpmv)
 
     def cond(state):
         return state[3] > 0
@@ -139,12 +169,7 @@ def _bfs_kernel_pallas(fmt, source, monoid=True,
     def body(state):
         v, front, depth, _ = state
         v = jnp.where(front > 0, depth, v)
-        if adaptive:
-            hits = fused_cell_spmv_apply_adaptive(
-                fmt, front, op_mul=_structural_or, op_add=jnp.maximum,
-                identity=0.0, front_factor=front_factor,
-            )
-        elif monoid:
+        if monoid:
             hits = _monoid_apply(fmt)(
                 fmt, front, op_mul=_structural_or, op_add=jnp.maximum,
                 identity=0.0, skip_inactive=True,
@@ -272,29 +297,53 @@ def _sssp_kernel_pallas(fmt, source, front_factor=jnp.float32(0.1)):
     identity, so with the fused format the direction-optimized sparse
     kernel makes late (nearly-converged) iterations cost only the
     changed windows."""
-    from .pallas.spmv import FusedCellSpmv, fused_cell_spmv_apply_adaptive
+    from .pallas.spmv import (
+        FusedCellSpmv,
+        fused_spmv2d_adaptive,
+    )
 
     n = fmt.m
     inf = jnp.float32(jnp.inf)
+    adaptive = isinstance(fmt, FusedCellSpmv) and fmt.m == fmt.n
+    if adaptive:
+        # 2D-layout loop (see _bfs_kernel_pallas): v/feedback stay in the
+        # kernel's padded layout, no per-level flatten/pad round trips
+        cwr = fmt.cw // 128
+        nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+        R = fmt.n_row_blocks * 128  # R >= nwr
+        v0 = jnp.full((R, 128), inf, jnp.float32).at[
+            source // 128, source % 128].set(0.0)
+
+        def cond2(state):
+            return state[2] > 0
+
+        def body2(state):
+            v, fdb, _ = state
+            frontier = fused_spmv2d_adaptive(
+                fmt, fdb[:nwr], op_mul=_minplus_mul, op_add=jnp.minimum,
+                identity=float("inf"), front_factor=front_factor,
+            )
+            new_v = jnp.minimum(v, frontier)
+            changed_mask = new_v < v
+            fdb_new = jnp.where(changed_mask, new_v, inf)
+            changed = jnp.sum(changed_mask).astype(jnp.int32)
+            return (new_v, fdb_new, changed)
+
+        v, _, _ = lax.while_loop(cond2, body2, (v0, v0, jnp.int32(1)))
+        return v.reshape(-1)[:n]
+
     v0 = jnp.full((n,), inf, jnp.float32).at[source].set(0.0)
     fdb0 = v0
-    adaptive = isinstance(fmt, FusedCellSpmv)
 
     def cond(state):
         return state[2] > 0
 
     def body(state):
         v, fdb, _ = state
-        if adaptive:
-            frontier = fused_cell_spmv_apply_adaptive(
-                fmt, fdb, op_mul=_minplus_mul, op_add=jnp.minimum,
-                identity=float("inf"), front_factor=front_factor,
-            )
-        else:
-            frontier = _monoid_apply(fmt)(
-                fmt, fdb, op_mul=_minplus_mul, op_add=jnp.minimum,
-                identity=float("inf"), skip_inactive=True,
-            )
+        frontier = _monoid_apply(fmt)(
+            fmt, fdb, op_mul=_minplus_mul, op_add=jnp.minimum,
+            identity=float("inf"), skip_inactive=True,
+        )
         new_v = jnp.minimum(v, frontier)
         changed_mask = new_v < v
         fdb_new = jnp.where(changed_mask, new_v, inf)

@@ -73,6 +73,7 @@ __all__ = [
     "s_cell_spmv_apply",
     "fused_cell_spmv_apply",
     "fused_cell_spmv_apply_adaptive",
+    "fused_spmv2d_adaptive",
     "get_best_monoid_format",
     "pallas_spmv_fn",
 ]
@@ -1426,25 +1427,17 @@ def _sparse_grid_batches(nb: int) -> int:
     return max(min(nb, 8), nb // 8)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("op_mul", "op_add", "identity"),
-)
-def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
-                                   identity, front_factor=jnp.float32(0.1)):
-    """Direction-optimized SpMV (reference ``src/algorithm.cpp:93-100``,
-    ``descriptor.hpp:46-64``): when the frontier density is at most
-    ``front_factor`` AND the active tile batches fit the sparse grid, run
-    the indirect sparse kernel (cost ~ active tiles only); otherwise the
-    full-streaming kernel.  Selected per call inside jit via ``lax.cond``
-    — usable inside ``lax.while_loop`` level loops with zero host syncs.
-
-    ``front_factor=1.0`` forces the sparse path whenever it fits
-    (reference Push mode); ``0.0`` forces the full kernel (Pull)."""
+def fused_spmv2d_adaptive(fmt: FusedCellSpmv, x2d, op_mul, op_add,
+                          identity, front_factor=jnp.float32(0.1)):
+    """2D-layout core of the adaptive SpMV: takes the padded window-major
+    input ``x2d [nwr, 128]`` and returns the padded output
+    ``[n_rb*128, 128]`` — for square operators the two layouts coincide
+    (row r at ``[r // 128, r % 128]``), so level loops (BFS/SSSP) can
+    carry their whole state in this form and skip the per-iteration
+    flatten/pad round-trips."""
     cwr = fmt.cw // 128
     nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
     ident = jnp.float32(identity)
-    x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
     nwc = nwr // cwr
     nb = fmt.n_tiles // FUSED_K
     nbs = _sparse_grid_batches(nb)
@@ -1456,8 +1449,12 @@ def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
     order = jnp.argsort(1 - act_b, stable=True).astype(jnp.int32)
     last = jnp.take(order, jnp.maximum(n_act - 1, 0))
     lst = jnp.where(jnp.arange(nb) < n_act, order, last)[:nbs]
-    density = jnp.sum(x != ident) / jnp.float32(max(fmt.n, 1))
-    use_sparse = (n_act <= nbs) & (density <= front_factor)
+    # capacity-driven policy: the sparse grid streams <= 1/8 of the tile
+    # batches, so it wins whenever the active set FITS — front_factor
+    # only switches the optimization off (0.0 = reference Pull mode);
+    # measured on the road-graph benchmark a density threshold below the
+    # capacity point only forfeits wins
+    use_sparse = (front_factor > 0) & (n_act <= nbs)
 
     fn = getattr(op_mul, "fn", op_mul)
     add = getattr(op_add, "fn", op_add)
@@ -1518,8 +1515,32 @@ def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
         )(fmt.rb_of_tile, fmt.wb_of_batch,
           jnp.reshape(n_act, (1,)).astype(jnp.int32), lst, fmt.fused, x2d)
 
-    out = lax.cond(use_sparse, run_sparse, run_full, x2d, act, lst,
-                   n_act.astype(jnp.int32))
+    return lax.cond(use_sparse, run_sparse, run_full, x2d, act, lst,
+                    n_act.astype(jnp.int32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("op_mul", "op_add", "identity"),
+)
+def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
+                                   identity, front_factor=jnp.float32(0.1)):
+    """Direction-optimized SpMV (reference ``src/algorithm.cpp:93-100``,
+    ``descriptor.hpp:46-64``): when the active tile batches FIT the
+    sparse grid (1/8 of the full one), run the indirect sparse kernel
+    (cost ~ active tiles only); otherwise the full-streaming kernel.
+    Selected per call inside jit via ``lax.cond`` — usable inside
+    ``lax.while_loop`` level loops with zero host syncs.
+
+    ``front_factor > 0`` enables the optimization (any positive value:
+    the capacity point IS the profitable switch point on this hardware);
+    ``0.0`` forces the full kernel (reference Pull mode)."""
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    ident = jnp.float32(identity)
+    x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
+    out = fused_spmv2d_adaptive(fmt, x2d, op_mul, op_add, identity,
+                                front_factor)
     return out.reshape(-1)[: fmt.m]
 
 

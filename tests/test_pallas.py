@@ -591,3 +591,42 @@ def test_fused_pattern_layout_structural():
         op_add=jnp.maximum, identity=0.0, front_factor=jnp.float32(1.0)))
     ref2 = ((a.tocsr() @ front2) > 0).astype(np.float32)
     np.testing.assert_array_equal(hits2 > 0, ref2 > 0)
+
+
+def test_bfs_sssp_pallas_2d_loops_vs_oracle():
+    # the TPU-path level loops (2D-layout state + adaptive kernel) are
+    # gated on platform in bfs()/sssp(); drive the kernels directly in
+    # interpret mode against scipy oracles
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_fused_cell_spmv_arrays
+    from spla_tpu.algorithms import _bfs_kernel_pallas, _sssp_kernel_pallas
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(77)
+    n = 900
+    r = rng.integers(0, n, 2500).astype(np.int32)
+    c = rng.integers(0, n, 2500).astype(np.int32)
+    keep = r != c
+    a = sp.coo_matrix((rng.uniform(0.1, 2.0, keep.sum()).astype(np.float32),
+                       (r[keep], c[keep])), shape=(n, n))
+    a = a.maximum(a.T).tocsr()
+    a.sum_duplicates()
+    coo = a.tocoo()
+    fmt_pat = build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        np.ones(coo.nnz, np.float32), cw=1024, pattern=True)
+    lev = np.asarray(_bfs_kernel_pallas(fmt_pat, jnp.int32(0)))
+    import scipy.sparse.csgraph as cg
+    ref = cg.shortest_path(a, method="D", unweighted=True, indices=0)
+    finite = np.isfinite(ref)
+    assert np.all(lev[finite] == ref[finite] + 1)
+    assert np.all(lev[~finite] == 0)
+
+    fmt_w = build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        coo.data, cw=1024)
+    dist = np.asarray(_sssp_kernel_pallas(fmt_w, jnp.int32(0)))
+    refd = cg.dijkstra(a, indices=0)
+    np.testing.assert_allclose(dist[finite], refd[finite], rtol=1e-5)
+    assert np.all(np.isinf(dist[~finite]))
