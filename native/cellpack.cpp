@@ -100,9 +100,15 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                    const int32_t* rows, const int32_t* cols,
                    const float* vals, int32_t mode);
 
+static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
+                            const int32_t* rows, const int32_t* cols,
+                            const float* vals, int64_t batch);
+
 void* cellpack_run2(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                     const int32_t* rows, const int32_t* cols,
                     const float* vals, int32_t mode, int64_t batch) {
+    if (mode == 5)
+        return cellpack_mode5(nnz, m, n, cw, rows, cols, vals, batch);
     if (mode == 3 || mode == 4)
         return cellpack_mode3(nnz, m, n, cw, rows, cols, vals, batch,
                               mode == 4);
@@ -330,6 +336,254 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         }
     }
     out->n_tiles = t_next;
+    return out;
+}
+
+// mode 5: PAIR-shared S-table.  Tiles come in pairs sharing ONE 16-row
+// nibble S-table whose entry for output cell (g, l) addresses 16
+// candidate slots: sk < 8 = half-A sublane sk, sk >= 8 = half-B sublane
+// sk - 8.  Half B's sublane 7 never holds entries, so the init value 0xF
+// addresses an always-empty row whose products are identity — unset
+// positions need NO sentinel resolution and the kernel NO invalid case.
+// Streaming drops from 28 to 20 int32 rows per tile (40 rows = exactly
+// 5 physical vreg tiles per pair) for a small capacity trim (15/16 of
+// the pair's sublane rows).  The two halves may have DIFFERENT row
+// blocks (each tile keeps its own rb and the kernel does one RMW per
+// half), so pairs form freely across cells within a window and odd
+// cell tile counts cost nothing.
+//
+// Pair block rows [40][128] int32:
+//   A: rows 0..7 f32 values | 8..9 w-bytes | 10..11 invl bytes
+//   B: rows 12..19 values   | 20..21 w     | 22..23 invl
+//   shared: rows 24..39 S-table nibbles (nibble g%8 of word [24+g/8][l])
+static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
+                            const int32_t* rows, const int32_t* cols,
+                            const float* vals, int64_t batch) {
+    const int64_t PFR = 40;  // rows per pair block
+    const int64_t n_rb_ = (m + ROW_BLOCK - 1) / ROW_BLOCK;
+    const int64_t n_rb = n_rb_ > 0 ? n_rb_ : 1;
+    const int64_t nwc_ = (n + cw - 1) / cw;
+    const int64_t nwc = nwc_ > 0 ? nwc_ : 1;
+    const int64_t n_cells = n_rb * nwc;
+    if (batch < 2) batch = 2;
+
+    Pack* out = new (std::nothrow) Pack();
+    if (!out) return nullptr;
+
+    // pass 1: counting sort by cell (row-block-major ids, window-major walk)
+    std::vector<int64_t> cell_count(n_cells + 1, 0);
+    for (int64_t i = 0; i < nnz; ++i) {
+        const int64_t cell =
+            (int64_t)(rows[i] >> 14) * nwc + (int64_t)cols[i] / cw;
+        ++cell_count[cell + 1];
+    }
+    for (int64_t c = 0; c < n_cells; ++c) cell_count[c + 1] += cell_count[c];
+    std::vector<int64_t> order(nnz);
+    {
+        std::vector<int64_t> cur(cell_count.begin(), cell_count.end() - 1);
+        for (int64_t i = 0; i < nnz; ++i) {
+            const int64_t cell =
+                (int64_t)(rows[i] >> 14) * nwc + (int64_t)cols[i] / cw;
+            order[cur[cell]++] = i;
+        }
+    }
+
+    int64_t alloc = 0;  // in PAIRS
+    auto grow = [&](int64_t need_pairs) -> bool {
+        if (need_pairs <= alloc && out->fused) return true;
+        int64_t na = alloc ? alloc : 4096;
+        while (na < need_pairs) na *= 2;
+        void* v;
+        v = std::realloc(out->fused, na * PFR * 128 * sizeof(int32_t));
+        if (!v) return false; out->fused = (int32_t*)v;
+        v = std::realloc(out->rb, na * 2 * sizeof(int32_t));
+        if (!v) return false; out->rb = (int32_t*)v;
+        v = std::realloc(out->wb, na * 2 * sizeof(int32_t));
+        if (!v) return false; out->wb = (int32_t*)v;
+        alloc = na;
+        return true;
+    };
+
+    struct Half {
+        int64_t rb = -1;  // -1 = unopened
+        uint8_t slot_taken[8][128];
+        uint8_t l_used[8][128];
+    };
+    struct OpenPair {
+        int64_t gid;  // global pair index (also the claim stamp)
+        Half h[2];
+    };
+    OpenPair pairs[PROBE_TILES];
+    // shared one-entry-per-output-cell claim, stamped by pair gid
+    std::vector<int64_t> claim((size_t)PROBE_TILES * ROW_BLOCK, -1);
+
+    int64_t p_next = 0;  // pairs emitted
+    auto init_pair_words = [&](int64_t pid, int64_t w) {
+        int32_t* f = out->fused + pid * PFR * 128;
+        std::memset(f, 0, (size_t)10 * 128 * 4);            // A vals + w
+        std::memset(f + 10 * 128, 0xFF, (size_t)2 * 128 * 4);   // A invl
+        std::memset(f + 12 * 128, 0, (size_t)10 * 128 * 4);     // B vals + w
+        std::memset(f + 22 * 128, 0xFF, (size_t)2 * 128 * 4);   // B invl
+        std::memset(f + 24 * 128, 0xFF, (size_t)16 * 128 * 4);  // S-table
+        out->rb[pid * 2] = 0;
+        out->rb[pid * 2 + 1] = 0;
+        out->wb[pid * 2] = (int32_t)w;
+        out->wb[pid * 2 + 1] = (int32_t)w;
+    };
+    auto open_pair = [&](int slot, int64_t w) -> bool {
+        if (!grow(p_next + 1)) return false;
+        OpenPair& p = pairs[slot];
+        p.gid = p_next++;
+        p.h[0].rb = -1;
+        p.h[1].rb = -1;
+        init_pair_words(p.gid, w);
+        return true;
+    };
+
+    std::vector<std::pair<int32_t, int64_t>> deal;
+    int32_t l_counter[128], b_counter[128];
+
+    for (int64_t w = 0; w < nwc; ++w) {
+        int n_open = 0, newest = -1;  // pairs close at window boundaries
+        for (int64_t rbi = 0; rbi < n_rb; ++rbi) {
+            const int64_t cell = rbi * nwc + w;
+            const int64_t lo = cell_count[cell], hi = cell_count[cell + 1];
+            if (lo == hi) continue;
+            if (hi - lo > 1) {
+                std::memset(l_counter, 0, sizeof(l_counter));
+                std::memset(b_counter, 0, sizeof(b_counter));
+                deal.clear();
+                deal.reserve(hi - lo);
+                for (int64_t q = lo; q < hi; ++q) {
+                    const int64_t e = order[q];
+                    const int l = rows[e] & 127;
+                    const int b = cols[e] & 127;
+                    const int32_t key = std::max(l_counter[l]++, b_counter[b]++);
+                    deal.emplace_back(key, e);
+                }
+                std::stable_sort(deal.begin(), deal.end(),
+                                 [](const auto& a, const auto& b) {
+                                     return a.first < b.first;
+                                 });
+                for (int64_t q = lo; q < hi; ++q)
+                    order[q] = deal[q - lo].second;
+            }
+            for (int64_t q = lo; q < hi; ++q) {
+                const int64_t e = order[q];
+                const int32_t col = cols[e];
+                const int32_t row = rows[e];
+                const int32_t w7 = (int32_t)((col % cw) >> 7);
+                const int32_t b = col & 127;
+                const int32_t local = row & (ROW_BLOCK - 1);
+                const int32_t g = local >> 7, l = local & 127;
+
+                int pk_slot = -1, pk_half = -1, pk_sub = -1;
+                // phase 1: opened halves with matching rb (newest-first);
+                // phase 2: unopened halves of existing pairs
+                for (int phase = 0; phase < 2 && pk_slot < 0; ++phase) {
+                    for (int k = 0; k < n_open && pk_slot < 0; ++k) {
+                        const int sk =
+                            (newest - k + PROBE_TILES) % PROBE_TILES;
+                        OpenPair& p = pairs[sk];
+                        if (claim[(size_t)sk * ROW_BLOCK + local] == p.gid)
+                            continue;
+                        for (int h = 0; h < 2 && pk_slot < 0; ++h) {
+                            Half& hf = p.h[h];
+                            if (phase == 0) {
+                                if (hf.rb != rbi) continue;
+                                const int smax = (h == 1) ? 7 : 8;
+                                for (int sb = 0; sb < smax; ++sb) {
+                                    if (!hf.slot_taken[sb][b] &&
+                                        !hf.l_used[sb][l]) {
+                                        pk_slot = sk;
+                                        pk_half = h;
+                                        pk_sub = sb;
+                                        break;
+                                    }
+                                }
+                            } else if (hf.rb < 0) {
+                                pk_slot = sk;
+                                pk_half = h;
+                                pk_sub = 0;
+                            }
+                        }
+                    }
+                }
+                if (pk_slot < 0) {
+                    newest = (newest + 1) % PROBE_TILES;
+                    if (n_open < PROBE_TILES) ++n_open;
+                    if (!open_pair(newest, w)) { delete out; return nullptr; }
+                    pk_slot = newest;
+                    pk_half = 0;
+                    pk_sub = 0;
+                }
+                OpenPair& p = pairs[pk_slot];
+                Half& hf = p.h[pk_half];
+                if (hf.rb < 0) {
+                    hf.rb = rbi;
+                    std::memset(hf.slot_taken, 0, sizeof(hf.slot_taken));
+                    std::memset(hf.l_used, 0, sizeof(hf.l_used));
+                    out->rb[p.gid * 2 + pk_half] = (int32_t)rbi;
+                }
+                const int sub = pk_sub;
+                hf.slot_taken[sub][b] = 1;
+                hf.l_used[sub][l] = 1;
+                claim[(size_t)pk_slot * ROW_BLOCK + local] = p.gid;
+                int32_t* f = out->fused + p.gid * PFR * 128;
+                const int ho = pk_half * 12;
+                int32_t vbits;
+                std::memcpy(&vbits, &vals[e], 4);
+                f[(ho + sub) * 128 + b] = vbits;
+                const int sh8 = 8 * (sub & 3);
+                int32_t* ww = f + (ho + 8 + (sub >> 2)) * 128 + b;
+                *ww = (*ww & ~(0xFF << sh8)) | ((w7 | 0x80) << sh8);
+                int32_t* iw = f + (ho + 10 + (sub >> 2)) * 128 + l;
+                *iw = (*iw & ~(0xFF << sh8)) | (b << sh8);
+                const int sh4 = 4 * (g & 7);
+                const int code = pk_half * 8 + sub;
+                int32_t* sw = f + (24 + (g >> 3)) * 128 + l;
+                *sw = (*sw & ~(0xF << sh4)) | (code << sh4);
+            }
+        }
+        // pad this window's tile count to a multiple of `batch`
+        while ((p_next * 2) % batch) {
+            if (!grow(p_next + 1)) { delete out; return nullptr; }
+            init_pair_words(p_next, w);
+            ++p_next;
+        }
+    }
+    if (p_next == 0) {  // fully empty matrix: one all-invalid batch
+        for (int64_t j = 0; j < batch / 2; ++j) {
+            if (!grow(p_next + 1)) { delete out; return nullptr; }
+            init_pair_words(p_next, 0);
+            ++p_next;
+        }
+    }
+
+    // resolve invl sentinels per half (absent output-l positions point at
+    // a lane whose slot in that sublane row is INVALID; a full row has no
+    // sentinels left, so a fallback always exists)
+    for (int64_t pid = 0; pid < p_next; ++pid) {
+        int32_t* f = out->fused + pid * PFR * 128;
+        for (int h = 0; h < 2; ++h) {
+            const int ho = h * 12;
+            for (int s = 0; s < 8; ++s) {
+                const int sh8 = 8 * (s & 3);
+                const int32_t* ww = f + (ho + 8 + (s >> 2)) * 128;
+                int fallback = -1;
+                for (int lane = 0; lane < 128; ++lane) {
+                    if (!((ww[lane] >> sh8) & 0x80)) { fallback = lane; break; }
+                }
+                if (fallback < 0) continue;
+                int32_t* iw = f + (ho + 10 + (s >> 2)) * 128;
+                for (int l = 0; l < 128; ++l) {
+                    if (((iw[l] >> sh8) & 0xFF) == 0xFF)
+                        iw[l] = (iw[l] & ~(0xFF << sh8)) | (fallback << sh8);
+                }
+            }
+        }
+    }
+    out->n_tiles = p_next * 2;
     return out;
 }
 

@@ -48,6 +48,7 @@ x-window is all-identity drop to their stream cost.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -1148,7 +1149,8 @@ jax.tree_util.register_dataclass(
 
 def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
                                  two_choice: bool = False,
-                                 pattern: bool = False):
+                                 pattern: bool = False,
+                                 paired: bool | None = None):
     """Fused routeless cell layout (packer mode 3, or mode 4 with
     two-choice lanes); None without the native packer or when the output
     exceeds the resident-VMEM cap.
@@ -1164,7 +1166,10 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     if n_rb > FUSED_MAX_RB:
         return None
     nnz = int(np.asarray(rows).shape[0])
-    mode = 4 if two_choice else 3
+    if paired is None:
+        paired = not two_choice and \
+            os.environ.get("SPLA_NO_PAIR_STAB") is None
+    mode = 4 if two_choice else (5 if paired else 3)
     packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
                          np.asarray(vals), mode=mode, batch=FUSED_K)
     if packed is None:
@@ -1173,6 +1178,17 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     if two_choice:
         fused_dev = jnp.asarray(np.asarray(fused).reshape(nt // 8, 232, 128))
         layout = 2
+    elif paired and pattern:
+        # pattern pair layout: drop both halves' value rows
+        # (40 -> 24 rows per pair: wA, invlA, wB, invlB, shared S-table)
+        f = np.asarray(fused)
+        f24 = np.ascontiguousarray(
+            np.concatenate([f[:, 8:12], f[:, 20:40]], axis=1))
+        fused_dev = jnp.asarray(f24)
+        layout = 5
+    elif paired:
+        fused_dev = jnp.asarray(np.asarray(fused))
+        layout = 4
     elif pattern:
         # structural format: values are all 1.0 — drop the 8 value rows
         # (28 -> 20 rows, -28% stream for BFS-class traversals)
@@ -1192,12 +1208,126 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     )
 
 
+# pair layouts (packer mode 5): per-PAIR block rows; voff None = pattern
+# (values elided, all 1.0).  Layout 4 = 40-row value pairs, layout 5 =
+# 24-row pattern pairs; both share one 16-row S-table per pair whose
+# nibble addresses 16 slots (sk < 8: half A sublane sk, else half B
+# sublane sk - 8; half B sublane 7 never holds entries, so 0xF — the
+# unset value — reads identity with no special case).
+# fused-array block shape per K-tile grid step, by layout
+_FBLOCK = {
+    1: (FUSED_K // 2, 56, 128),
+    2: (FUSED_K // 8, 232, 128),
+    3: (FUSED_K // 4, 80, 128),
+    4: (FUSED_K // 2, 40, 128),
+    5: (FUSED_K // 2, 24, 128),
+}
+
+_PAIR_LAYOUTS = {
+    # layout: (prows, voffA, woffA, ioffA, voffB, woffB, ioffB, soff)
+    4: (40, 0, 8, 10, 12, 20, 22, 24),
+    5: (24, None, 0, 2, None, 4, 6, 8),
+}
+
+
+def _make_pair_body(op_mul, op_add, identity, cwr, layout):
+    """Returns pair_body(p, rb_base, rb_ref, f_ref, x_ref, out_ref):
+    evaluates pair p of the current fused block and applies both halves'
+    output deltas (one 128-row RMW per half; halves may target different
+    row blocks)."""
+    prows, voffA, woffA, ioffA, voffB, woffB, ioffB, soff = \
+        _PAIR_LAYOUTS[layout]
+    del prows
+
+    def pair_body(p, rb_base, rb_ref, f_ref, x_ref, out_ref):
+        ident = jnp.float32(identity)
+        siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        sh8 = (siota % 4) * 8
+        sh4 = siota * 4
+
+        def fr(a, b):
+            return f_ref[p, a:b]
+
+        def half_psort(voff, woff, ioff):
+            w_words = fr(woff, woff + 2)
+            wrep = jnp.concatenate(
+                [w_words[0:1]] * 4 + [w_words[1:2]] * 4, axis=0)
+            wbyte = (wrep >> sh8) & 0xFF
+            valid = (wbyte & 0x80) != 0
+            w7 = wbyte & 0x7F
+            r3 = w7 & 7
+            m4 = w7 >> 3
+            xg = jnp.zeros((8, 128), jnp.float32)
+            for q in range(cwr // 8):
+                cand = jnp.take_along_axis(x_ref[8 * q: 8 * q + 8], r3,
+                                           axis=0)
+                xg = jnp.where(m4 == q, cand, xg)
+            if voff is None:
+                vals = jnp.ones((8, 128), jnp.float32)
+            else:
+                vals = lax.bitcast_convert_type(fr(voff, voff + 8),
+                                                jnp.float32)
+            prod = op_mul(vals, xg)
+            prod = jnp.where(valid, prod, ident)
+            i_words = fr(ioff, ioff + 2)
+            irep = jnp.concatenate(
+                [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
+            inv = (irep >> sh8) & 0xFF
+            return jnp.take_along_axis(prod, inv, axis=1)
+
+        psA = half_psort(voffA, woffA, ioffA)
+        psB = half_psort(voffB, woffB, ioffB)
+        partsA, partsB = [], []
+        for q in range(16):
+            sw = jnp.broadcast_to(fr(soff + q, soff + q + 1), (8, 128))
+            sk = (sw >> sh4) & 0xF
+            skm = sk & 7
+            gkA = jnp.take_along_axis(psA, skm, axis=0)
+            gkB = jnp.take_along_axis(psB, skm, axis=0)
+            isA = sk < 8
+            partsA.append(jnp.where(isA, gkA, ident))
+            partsB.append(jnp.where(isA, ident, gkB))
+        deltaA = jnp.concatenate(partsA, axis=0)
+        deltaB = jnp.concatenate(partsB, axis=0)
+        g0A = rb_ref[rb_base + 2 * p] * 128
+        out_ref[pl.ds(g0A, 128)] = op_add(out_ref[pl.ds(g0A, 128)], deltaA)
+        g0B = rb_ref[rb_base + 2 * p + 1] * 128
+        out_ref[pl.ds(g0B, 128)] = op_add(out_ref[pl.ds(g0B, 128)], deltaB)
+
+    return pair_body
+
+
 def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout,
                        gated=True):
     # layout 1: 28-row tiles, two per fused block row; layout 2 (two-
     # choice lanes): 29 rows, eight per block row, row 10 = choice bits;
     # layout 3 (PATTERN — all values 1.0, the structural-BFS format):
-    # value rows elided, 20-row tiles, four per block row
+    # value rows elided, 20-row tiles, four per block row;
+    # layouts 4/5: pair-shared S-table (see _PAIR_LAYOUTS)
+    if layout in _PAIR_LAYOUTS:
+        pair_body = _make_pair_body(op_mul, op_add, identity, cwr, layout)
+
+        def pair_kernel(rb_ref, wb_ref, act_ref, f_ref, x_ref, out_ref):
+            c = pl.program_id(0)
+            ident = jnp.float32(identity)
+
+            @pl.when(c == 0)
+            def _():
+                out_ref[:] = jnp.full_like(out_ref, ident)
+
+            def batch_body():
+                for p in range(FUSED_K // 2):
+                    pair_body(p, c * FUSED_K, rb_ref, f_ref, x_ref, out_ref)
+
+            if gated:
+                @pl.when(act_ref[wb_ref[c]] == 1)
+                def _():
+                    batch_body()
+            else:
+                batch_body()
+
+        return pair_kernel
+
     frows, per_row, woff, ioff, soff = {
         1: (28, 2, 8, 10, 12),
         2: (29, 8, 8, 11, 13),
@@ -1304,11 +1434,7 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
         ).astype(jnp.int32)
     else:
         act = jnp.ones((nwc,), jnp.int32)
-    fblock = {
-        1: (FUSED_K // 2, 56, 128),
-        2: (FUSED_K // 8, 232, 128),
-        3: (FUSED_K // 4, 80, 128),
-    }[fmt.layout]
+    fblock = _FBLOCK[fmt.layout]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # rb_of_tile, wb_of_batch, act
         grid=(fmt.n_tiles // FUSED_K,),
@@ -1344,6 +1470,26 @@ def _make_sparse_fused_kernel(op_mul, op_add, identity, cwr, layout):
     ``n_act`` repeat the previous batch index, so Mosaic elides their
     DMAs — a sparse frontier costs only its active tiles plus an
     essentially free tail."""
+    if layout in _PAIR_LAYOUTS:
+        pair_body = _make_pair_body(op_mul, op_add, identity, cwr, layout)
+
+        def pair_kernel(rb_ref, wb_ref, nact_ref, lst_ref, f_ref, x_ref,
+                        out_ref):
+            c = pl.program_id(0)
+            ident = jnp.float32(identity)
+
+            @pl.when(c == 0)
+            def _():
+                out_ref[:] = jnp.full_like(out_ref, ident)
+
+            @pl.when(c < nact_ref[0])
+            def _():
+                b = lst_ref[c]
+                for p in range(FUSED_K // 2):
+                    pair_body(p, b * FUSED_K, rb_ref, f_ref, x_ref, out_ref)
+
+        return pair_kernel
+
     # layout 1: 28-row tiles, two per fused block row; layout 2 (two-
     # choice lanes): 29 rows, eight per block row, row 10 = choice bits;
     # layout 3 (PATTERN — all values 1.0, the structural-BFS format):
@@ -1458,11 +1604,7 @@ def fused_spmv2d_adaptive(fmt: FusedCellSpmv, x2d, op_mul, op_add,
 
     fn = getattr(op_mul, "fn", op_mul)
     add = getattr(op_add, "fn", op_add)
-    fblock = {
-        1: (FUSED_K // 2, 56, 128),
-        2: (FUSED_K // 8, 232, 128),
-        3: (FUSED_K // 4, 80, 128),
-    }[fmt.layout]
+    fblock = _FBLOCK[fmt.layout]
     out_shape = jax.ShapeDtypeStruct((fmt.n_row_blocks * 128, 128),
                                      jnp.float32)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)

@@ -576,7 +576,11 @@ def test_fused_pattern_layout_structural():
     fmt = build_fused_cell_spmv_arrays(
         n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
         np.ones_like(coo.data), cw=1024, pattern=True)
-    assert fmt is not None and fmt.layout == 3
+    assert fmt is not None and fmt.layout == 5  # pattern PAIR layout
+    fmt3 = build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        np.ones_like(coo.data), cw=1024, pattern=True, paired=False)
+    assert fmt3 is not None and fmt3.layout == 3
     front = (rng.random(n) < 0.05).astype(np.float32)
     hits = np.asarray(fused_cell_spmv_apply(
         fmt, jnp.asarray(front), op_mul=lambda av, xv: xv,
@@ -630,3 +634,50 @@ def test_bfs_sssp_pallas_2d_loops_vs_oracle():
     refd = cg.dijkstra(a, indices=0)
     np.testing.assert_allclose(dist[finite], refd[finite], rtol=1e-5)
     assert np.all(np.isinf(dist[~finite]))
+
+
+def test_fused_pair_layouts_match_flat():
+    # layouts 4/5 (pair-shared S-table) vs layout 1/3 and scipy, incl. a
+    # MIN monoid and the sparse-frontier adaptive path
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays, fused_cell_spmv_apply,
+        fused_cell_spmv_apply_adaptive)
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    m, n = 2300, 1700
+    a = sp.random(m, n, density=0.02, random_state=7, dtype=np.float32)
+    coo = a.tocoo()
+    rows = coo.row.astype(np.int32)
+    cols = coo.col.astype(np.int32)
+    x = rng.random(n, dtype=np.float32)
+    f4 = build_fused_cell_spmv_arrays(m, n, rows, cols, coo.data, cw=1024,
+                                      paired=True)
+    f1 = build_fused_cell_spmv_arrays(m, n, rows, cols, coo.data, cw=1024,
+                                      paired=False)
+    assert f4.layout == 4 and f1.layout == 1
+    out4 = np.asarray(fused_cell_spmv_apply(
+        f4, jnp.asarray(x), op_mul=lambda a_, b_: a_ * b_, op_add=jnp.add,
+        identity=0.0))
+    ref = a.tocsr() @ x
+    np.testing.assert_allclose(out4, ref, rtol=2e-5, atol=2e-5)
+    # MIN-plus semiring (SSSP step semantics)
+    inf = np.float32(3.0e38)
+    xp = rng.random(n, dtype=np.float32)
+    o_min4 = np.asarray(fused_cell_spmv_apply(
+        f4, jnp.asarray(xp), op_mul=lambda a_, b_: a_ + b_,
+        op_add=jnp.minimum, identity=inf))
+    o_min1 = np.asarray(fused_cell_spmv_apply(
+        f1, jnp.asarray(xp), op_mul=lambda a_, b_: a_ + b_,
+        op_add=jnp.minimum, identity=inf))
+    np.testing.assert_array_equal(o_min4, o_min1)  # same reduce: bitwise
+    # sparse adaptive path, single-vertex frontier
+    x2 = np.zeros(n, np.float32)
+    x2[13] = 1.0
+    h4 = np.asarray(fused_cell_spmv_apply_adaptive(
+        f4, jnp.asarray(x2), op_mul=lambda a_, b_: b_, op_add=jnp.maximum,
+        identity=0.0, front_factor=jnp.float32(1.0)))
+    ref2 = ((a.tocsr() @ x2) != 0).astype(np.float32)
+    np.testing.assert_array_equal(h4 > 0, ref2 > 0)
