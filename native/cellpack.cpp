@@ -485,12 +485,21 @@ static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                         const int sk =
                             (newest - k + PROBE_TILES) % PROBE_TILES;
                         OpenPair& p = pairs[sk];
+                        // cheap screens BEFORE the claim-table load: pairs
+                        // whose halves are all from older row blocks (the
+                        // ring persists across cells within a window) cost
+                        // only these comparisons
+                        const bool h0 = p.h[0].rb == rbi;
+                        const bool h1 = p.h[1].rb == rbi;
+                        const bool f0 = p.h[0].rb < 0;
+                        const bool f1 = p.h[1].rb < 0;
+                        if (phase == 0 ? !(h0 || h1) : !(f0 || f1)) continue;
                         if (claim[(size_t)sk * ROW_BLOCK + local] == p.gid)
                             continue;
                         for (int h = 0; h < 2 && pk_slot < 0; ++h) {
                             Half& hf = p.h[h];
                             if (phase == 0) {
-                                if (hf.rb != rbi) continue;
+                                if (!(h == 0 ? h0 : h1)) continue;
                                 const int smax = (h == 1) ? 7 : 8;
                                 for (int sb = 0; sb < smax; ++sb) {
                                     if (!hf.slot_taken[sb][b] &&
@@ -501,7 +510,7 @@ static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                                         break;
                                     }
                                 }
-                            } else if (hf.rb < 0) {
+                            } else if (h == 0 ? f0 : f1) {
                                 pk_slot = sk;
                                 pk_half = h;
                                 pk_sub = 0;

@@ -54,16 +54,17 @@ class ShardedCellSpmv:
     cw: int
     n_tiles: int  # per shard (padded to max, multiple of FUSED_K)
     n_row_blocks: int  # per shard
-    fused: jax.Array  # [S, T//2, 56, 128] int32 (layout 1)
+    fused: jax.Array  # [S, T//2, 56|40, 128] int32 (layout 1 or 4)
     rb_of_tile: jax.Array  # [S, T]
     wb_of_batch: jax.Array  # [S, T // FUSED_K]
+    layout: int = 1
 
 
 jax.tree_util.register_dataclass(
     ShardedCellSpmv,
     data_fields=["fused", "rb_of_tile", "wb_of_batch"],
     meta_fields=["m", "n", "mloc", "n_shards", "cw", "n_tiles",
-                 "n_row_blocks"],
+                 "n_row_blocks", "layout"],
 )
 
 
@@ -113,9 +114,11 @@ def shard_cell_spmv(
             out.append(a)
         return jnp.asarray(np.stack(out))
 
+    if len({f.layout for f in fmts}) != 1:
+        return None  # mixed per-shard layouts: unreachable with one packer
     sc = ShardedCellSpmv(
         m=m, n=n, mloc=mloc, n_shards=n_shards, cw=cw, n_tiles=T,
-        n_row_blocks=fmts[0].n_row_blocks,
+        n_row_blocks=fmts[0].n_row_blocks, layout=fmts[0].layout,
         # zero fused rows = valid bit clear = identity delta (inert)
         fused=padded(lambda f: f.fused, 0, np.int32),
         rb_of_tile=padded(lambda f: f.rb_of_tile, 0, np.int32),
@@ -132,17 +135,18 @@ def shard_cell_spmv(
 
 # hashable static metadata for jit: (m, mloc, n_shards, cw, n_tiles, n_rb)
 def _meta(sc: ShardedCellSpmv):
-    return (sc.m, sc.mloc, sc.n_shards, sc.cw, sc.n_tiles, sc.n_row_blocks)
+    return (sc.m, sc.mloc, sc.n_shards, sc.cw, sc.n_tiles, sc.n_row_blocks,
+            sc.layout)
 
 
 def _local_fmt(meta, arrs) -> FusedCellSpmv:
-    m, mloc, n_shards, cw, n_tiles, n_rb = meta
+    m, mloc, n_shards, cw, n_tiles, n_rb, layout = meta
     fused, rb, wb = arrs
     return FusedCellSpmv(
         m=mloc, n=n_shards * mloc, cw=cw,
         n_row_blocks=n_rb, n_tiles=n_tiles,
         fused=fused[0], rb_of_tile=rb[0], wb_of_batch=wb[0],
-        slots=n_tiles * 1024, nnz=0, layout=1,
+        slots=n_tiles * 1024, nnz=0, layout=layout,
     )
 
 
