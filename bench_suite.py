@@ -62,15 +62,23 @@ def main():
     dev = jax.devices()[0].platform
 
     # ---- BFS (levels on device, Pallas traversal on TPU) ----
+    # CHAINED runs (next source depends on the previous result) with ONE
+    # scalar materialization: a single dispatch+materialize round trip
+    # through the remote transport measures 25 ms — per-call timing would
+    # measure the tunnel, not the device
     Ac = F.csr_from_scipy(A.astype(np.int32))
     v = alg.bfs(Ac, 0)
-    np.asarray(jnp.sum(v.values))  # scalar materialization: forces the
-    t0 = time.perf_counter()       # full computation, 4-byte transfer
-    reps = 3
-    for _ in range(reps):
-        v = alg.bfs(Ac, 0)
-        np.asarray(jnp.sum(v.values))
-    dt = (time.perf_counter() - t0) / reps
+    np.asarray(jnp.sum(v.values))  # warm-up compile
+    reps = 10
+    dt = float("inf")
+    for _ in range(2):
+        src = jnp.asarray(0, jnp.int32)
+        t0 = time.perf_counter()
+        for k in range(reps):
+            v = alg.bfs(Ac, src)
+            src = (jnp.min(v.values) * 0 + (k + 1) % 7).astype(jnp.int32)
+        np.asarray(src)
+        dt = min(dt, (time.perf_counter() - t0) / reps)
     emit("bfs_gteps", nnz / dt / 1e9, "GTEPS",
          n=n, nnz=int(nnz), ms=round(dt * 1e3, 1), device=dev)
 
@@ -79,12 +87,19 @@ def main():
     outdeg[outdeg == 0] = 1
     Ap = F.csr_from_scipy(A.multiply(0.85 / outdeg).tocsr().astype(np.float32))
     p = alg.pr(Ap, 0.85, 1e-6)
-    np.asarray(jnp.sum(p.values))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        p = alg.pr(Ap, 0.85, 1e-6)
-        np.asarray(jnp.sum(p.values))
-    dt = (time.perf_counter() - t0) / reps
+    np.asarray(jnp.sum(p.values))  # warm-up
+    preps = 5
+    dt = float("inf")
+    for _ in range(2):
+        al = jnp.float32(0.85)
+        t0 = time.perf_counter()
+        for k in range(preps):
+            p = alg.pr(Ap, al, 1e-6)
+            # unique, device-dependent alpha: serializes the chain and
+            # defeats identical-input elision; p[0]*0 == 0 exactly
+            al = jnp.float32(0.85) + p.values[0] * 0 + jnp.float32(k * 1e-9)
+        np.asarray(al)
+        dt = min(dt, (time.perf_counter() - t0) / preps)
     emit("pagerank_ms", dt * 1e3, "ms", n=n, nnz=int(nnz), device=dev)
 
     # ---- SSSP (min-plus Pallas monoid kernel) ----
@@ -95,11 +110,15 @@ def main():
     Awc = F.csr_from_scipy(Aw, fill=np.float32(np.inf))
     v = alg.sssp(Awc, 0, At=Awc)
     np.asarray(jnp.sum(jnp.where(jnp.isfinite(v.values), v.values, 0)))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        v = alg.sssp(Awc, 0, At=Awc)
-        np.asarray(jnp.sum(jnp.where(jnp.isfinite(v.values), v.values, 0)))
-    dt = (time.perf_counter() - t0) / reps
+    dt = float("inf")
+    for _ in range(2):
+        src = jnp.asarray(0, jnp.int32)
+        t0 = time.perf_counter()
+        for k in range(preps):
+            v = alg.sssp(Awc, src, At=Awc)
+            src = (jnp.argmin(v.values) * 0 + (k + 1) % 7).astype(jnp.int32)
+        np.asarray(src)
+        dt = min(dt, (time.perf_counter() - t0) / preps)
     emit("sssp_ms", dt * 1e3, "ms", n=n, nnz=int(A.nnz), device=dev)
 
     # ---- road-network-class BFS (direction optimization stress) ----
@@ -132,13 +151,18 @@ def main():
     Ard = sp.csr_matrix((np.ones(rr.size, np.float32), (rr, cc)),
                         shape=(nrd, nrd))
     Ardc = F.csr_from_scipy(Ard)
-    src = 0
-    lev = alg.bfs(Ardc, src)
-    np.asarray(lev.values)  # warm-up compile
-    t0 = time.perf_counter()
-    lev = alg.bfs(Ardc, src)
-    lv = np.asarray(lev.values)
-    dtr = time.perf_counter() - t0
+    lev = alg.bfs(Ardc, 0)
+    lv = np.asarray(lev.values)  # warm-up + level count
+    rreps = 3
+    dtr = float("inf")
+    for _ in range(2):
+        src = jnp.asarray(0, jnp.int32)
+        t0 = time.perf_counter()
+        for k in range(rreps):
+            lev = alg.bfs(Ardc, src)
+            src = (jnp.min(lev.values) * 0 + k + 1).astype(jnp.int32)
+        np.asarray(src)
+        dtr = min(dtr, (time.perf_counter() - t0) / rreps)
     emit("road_bfs_gteps", Ard.nnz / dtr / 1e9, "GTEPS", n=nrd,
          nnz=int(Ard.nnz), levels=int(lv.max()), ms=round(dtr * 1e3, 1),
          device=dev)
