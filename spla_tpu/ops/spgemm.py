@@ -64,6 +64,79 @@ def count_mxmT_products(mask: CsrMatrix, B: CsrMatrix) -> int:
     return int(deg_b[m_cols].sum())
 
 
+def _monotone_gather(x, starts, cap):
+    """``x[src]`` where ``src`` is the run index of each slot (runs start
+    at ``starts``, non-decreasing) — built by scattering value DELTAS at
+    run starts and cumsum-ing.  Exact for any 32-bit dtype (int32-bitcast
+    modular arithmetic: colliding zero-length-run deltas telescope), and
+    O(n + cap) streaming instead of a full-width scalar-gather pass — XLA
+    TPU gathers run ~1 element/cycle and dominated the ESC expand phase
+    (measured ~25 ms per 2.2M-product gather)."""
+    if x.dtype != jnp.int32:
+        xi = lax.bitcast_convert_type(x, jnp.int32)
+    else:
+        xi = x
+    d = jnp.concatenate([xi[:1], xi[1:] - xi[:-1]])
+    marks = (
+        jnp.zeros((cap,), jnp.int32)
+        .at[jnp.clip(starts, 0, cap)]
+        .add(d, mode="drop")
+    )
+    out = jnp.cumsum(marks)
+    if x.dtype != jnp.int32:
+        return lax.bitcast_convert_type(out, x.dtype)
+    return out
+
+
+def _run_fold_compact(rows, cols, prod, valid, op_add, init_a, cap, m,
+                      out_cap, drop_init):
+    """Fold duplicate (row, col) runs of a SORTED product stream and
+    compact the run tails — replaces segment_fold-by-run-id (whose
+    scatter/searchsorted machinery measured ~700 ms at 2.2M products)
+    with one segmented scan + one compaction.  Invalid slots carry
+    rows == m and sort to the end, so runs are uniformly valid."""
+    from ..utils.segments import segmented_scan_fold
+
+    heads = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])]
+    )
+    scan_v, scan_h = segmented_scan_fold(prod, valid, heads, op_add)
+    tails = jnp.concatenate([heads[1:], jnp.ones((1,), jnp.bool_)])
+    folded = op_add(jnp.full_like(scan_v, init_a), scan_v)
+    keep = tails & scan_h & (rows < m)
+    if drop_init:
+        keep &= folded != init_a
+    (pos,) = jnp.nonzero(keep, size=out_cap, fill_value=cap)
+    posc = jnp.clip(pos, 0, cap - 1)
+    ok = pos < cap
+    return (
+        jnp.where(ok, rows[posc], m).astype(jnp.int32),
+        jnp.where(ok, cols[posc], 0).astype(jnp.int32),
+        jnp.where(ok, folded[posc], init_a),
+        jnp.sum(keep).astype(jnp.int32),
+    )
+
+
+def _expand_entry_streams(row_ids, values, b_base_e, starts, s_clip, cap):
+    """Expand the per-entry streams (row id, A value, B row base, run
+    start) to per-product-slot streams via monotone delta-cumsum gathers.
+    Non-4-byte value dtypes (bool) fall back to one scalar-gather pass."""
+    i = _monotone_gather(row_ids.astype(jnp.int32), s_clip, cap)
+    start_exp = _monotone_gather(starts.astype(jnp.int32), s_clip, cap)
+    b_base = _monotone_gather(b_base_e.astype(jnp.int32), s_clip, cap)
+    if values.dtype.itemsize == 4:
+        a_val = _monotone_gather(values, s_clip, cap)
+    else:
+        marks = (
+            jnp.zeros((cap,), jnp.int32).at[s_clip].add(1, mode="drop")
+        )
+        src = jnp.clip(jnp.cumsum(marks) - 1, 0,
+                       max(values.shape[0] - 1, 0))
+        a_val = values[src]
+    return i, a_val, b_base, start_exp
+
+
 def _expand_schedule(outer_deg, valid, products_cap):
     """Prefix-sum expansion: outer entry e contributes outer_deg[e] product
     slots.  Returns (src[e per slot], local[rank within e], slot_valid).
@@ -122,6 +195,10 @@ def mxm(
     init_a = _scalar(init, A.values.dtype)
     if products_cap is None:  # the symbolic pass only when not supplied
         products_cap = max(count_mxm_products(A, B), 1)
+    dense = _mxm_dense_try(A, B, op_mul, op_add, init, int(products_cap),
+                           out_capacity)
+    if dense is not None:
+        return dense
     blk = block_products
     if blk is None and products_cap > MXM_BLOCK_THRESHOLD:
         blk = MXM_BLOCK_P
@@ -140,6 +217,78 @@ def mxm(
     )
 
 
+# dense-MXU fast path: the expand-sort-fold pipeline is bound by XLA's
+# SCALAR gather (~7 full-width gather passes over the product stream,
+# measured 179 ms for 2.2M products), while an n^3 f32 matmul rides the
+# MXU at hundreds of Gflop/ms.  For plus-times f32 semirings on operands
+# that fit densely, densify -> dot(precision=HIGHEST) -> compact is ~10x
+# faster and semantically identical (absent entries contribute 0 to a
+# PLUS fold; accumulations equal to init are dropped in both paths).
+# Reference analog: the CPU backend's dense-row accumulator
+# (``cpu_mxm.hpp:88-114``) taken to the whole-matrix extreme the MXU
+# makes free.
+MXM_DENSE_CAP = 1 << 27  # max dense elements per operand/result (512 MB)
+# below this many products ESC wins: the dense path's fixed costs
+# (densify scatters + a full m*n compaction sweep) measured ~700 ms at
+# n=8K while ESC took ~170 ns/product
+MXM_DENSE_MIN_PRODUCTS = 1 << 22
+
+
+def _mxm_dense_try(A, B, op_mul, op_add, init, products_cap, out_capacity):
+    m, k = A.shape
+    _, n = B.shape
+    if products_cap < MXM_DENSE_MIN_PRODUCTS:
+        return None
+    if (getattr(op_mul, "name", None) != "MULT"
+            or getattr(op_add, "name", None) != "PLUS"):
+        return None
+    if A.values.dtype != jnp.float32 or B.values.dtype != jnp.float32:
+        return None
+    try:
+        if float(np.asarray(init if not hasattr(init, "value") else
+                            init.value)) != 0.0:
+            return None
+    except Exception:
+        return None
+    if max(m * k, k * n, m * n) > MXM_DENSE_CAP:
+        return None
+    cap = min(int(products_cap), m * n)
+    if out_capacity is not None:
+        cap = min(int(out_capacity), m * n)
+    return _mxm_dense(A, B, cap)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _mxm_dense(A, B, cap):
+    m, k = A.shape
+    _, n = B.shape
+    # densify with EXPLICIT zero fill (absent entries must contribute
+    # nothing to the PLUS fold, regardless of the containers' fill values)
+    def dense0(M, rows, cols_n):
+        base = jnp.zeros((rows + 1, cols_n + 1), jnp.float32)
+        vals = jnp.where(M.valid_mask(), M.values, 0.0)
+        cols = jnp.where(M.valid_mask(), M.cols, cols_n)
+        return base.at[M.row_ids, cols].add(vals, mode="drop")[:rows, :cols_n]
+
+    Ad = dense0(A, m, k)
+    Bd = dense0(B, k, n)
+    Rd = jnp.dot(Ad, Bd, precision=lax.Precision.HIGHEST)
+    flat = Rd.reshape(-1)
+    keep = flat != 0.0
+    (pos,) = jnp.nonzero(keep, size=cap, fill_value=m * n)
+    ok = pos < m * n
+    posc = jnp.clip(pos, 0, m * n - 1)
+    coo = CooMatrix(
+        shape=(m, n),
+        rows=jnp.where(ok, (posc // n).astype(jnp.int32), m),
+        cols=jnp.where(ok, (posc % n).astype(jnp.int32), 0),
+        values=jnp.where(ok, flat[posc], 0.0),
+        nnz=jnp.sum(keep).astype(jnp.int32),
+        fill=jnp.float32(0.0),
+    )
+    return coo_to_csr(coo)
+
+
 @partial(jax.jit, static_argnames=("op_mul", "op_add", "cap"))
 def _mxm_block_pass(A, B, init_a, ends, offset, op_mul, op_add, cap):
     """One product-window [offset, offset + cap) of the blocked numeric
@@ -153,52 +302,25 @@ def _mxm_block_pass(A, B, init_a, ends, offset, op_mul, op_add, cap):
     a_cols = jnp.clip(A.cols, 0, max(k - 1, 0))
     deg = jnp.where(A.valid_mask(), deg_b[a_cols], 0)
     starts = ends - deg
-    # in-window expansion schedule: markers at clipped run starts
     s_clip = jnp.clip(starts - offset, 0, cap)
-    marks = (
-        jnp.zeros((cap,), jnp.int32).at[s_clip].add(1, mode="drop")
-    )
-    src = jnp.cumsum(marks) - 1
-    src_c = jnp.clip(src, 0, max(A.cols.shape[0] - 1, 0))
     t = jnp.arange(cap, dtype=ends.dtype) + offset
-    local = (t - starts[src_c]).astype(jnp.int32)
+    i, a_val, b_base, start_exp = _expand_entry_streams(
+        A.row_ids, A.values, B.indptr[a_cols], starts, s_clip, cap)
+    local = (t - start_exp).astype(jnp.int32)
     total = ends[-1] if ends.shape[0] else jnp.zeros((), ends.dtype)
     slot_valid = t < total
 
-    i = A.row_ids[src_c]
-    a_val = A.values[src_c]
-    b_pos = jnp.clip(B.indptr[a_cols[src_c]] + local, 0,
-                     max(B.capacity - 1, 0))
+    b_pos = jnp.clip(b_base + local, 0, max(B.capacity - 1, 0))
     j = B.cols[b_pos]
     b_val = B.values[b_pos]
     prod = op_mul(a_val, b_val)
 
     rows = jnp.where(slot_valid, i, m).astype(jnp.int32)
     cols = jnp.where(slot_valid, j, n).astype(jnp.int32)
-    rows, cols, prod, slot_valid = lax.sort(
-        (rows, cols, prod, slot_valid), num_keys=2
-    )
-    heads = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_),
-         (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])]
-    )
-    run_id = (jnp.cumsum(heads) - 1).astype(jnp.int32)
-    folded, has = segment_fold(prod, run_id, slot_valid, cap, op_add, init_a)
-    (head_pos,) = jnp.nonzero(heads, size=cap, fill_value=cap)
-    head_c = jnp.clip(head_pos, 0, cap - 1)
-    run_rows = jnp.where(head_pos < cap, rows[head_c], m)
-    run_cols = jnp.where(head_pos < cap, cols[head_c], n)
-    keep = has & (run_rows < m)  # init-sparsification deferred to merge
-
-    (pos,) = jnp.nonzero(keep, size=cap, fill_value=cap)
-    posc = jnp.clip(pos, 0, cap - 1)
-    ok = pos < cap
-    return (
-        jnp.where(ok, run_rows[posc], m).astype(jnp.int32),
-        jnp.where(ok, run_cols[posc], n).astype(jnp.int32),
-        jnp.where(ok, folded[posc], init_a),
-        jnp.sum(keep).astype(jnp.int32),
-    )
+    rows, cols, prod = lax.sort((rows, cols, prod), num_keys=2)
+    # init-sparsification deferred to the caller's cross-window merge
+    return _run_fold_compact(rows, cols, prod, rows < m, op_add, init_a,
+                             cap, m, cap, drop_init=False)
 
 
 @partial(jax.jit, static_argnames=("op_add", "cap", "m", "n"))
@@ -207,27 +329,15 @@ def _mxm_merge(rows, cols, vals, init_a, op_add, cap, m, n):
     boundaries are folded; init-valued results dropped (reference
     ``cpu_mxm.hpp:109-113``)."""
     rows, cols, vals = lax.sort((rows, cols, vals), num_keys=2)
-    valid = rows < m
-    heads = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_),
-         (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])]
-    )
-    run_id = (jnp.cumsum(heads) - 1).astype(jnp.int32)
-    folded, has = segment_fold(vals, run_id, valid, cap, op_add, init_a)
-    (head_pos,) = jnp.nonzero(heads, size=cap, fill_value=cap)
-    head_c = jnp.clip(head_pos, 0, cap - 1)
-    run_rows = jnp.where(head_pos < cap, rows[head_c], m)
-    run_cols = jnp.where(head_pos < cap, cols[head_c], n)
-    keep = has & (run_rows < m) & (folded != init_a)
-    (pos,) = jnp.nonzero(keep, size=cap, fill_value=cap)
-    posc = jnp.clip(pos, 0, cap - 1)
-    ok = pos < cap
+    run_rows, run_cols, folded, count = _run_fold_compact(
+        rows, cols, vals, rows < m, op_add, init_a, cap, m, cap,
+        drop_init=True)
     coo = CooMatrix(
         shape=(m, n),
-        rows=jnp.where(ok, run_rows[posc], m).astype(jnp.int32),
-        cols=jnp.where(ok, run_cols[posc], 0).astype(jnp.int32),
-        values=jnp.where(ok, folded[posc], init_a),
-        nnz=jnp.sum(keep).astype(jnp.int32),
+        rows=run_rows,
+        cols=run_cols,
+        values=folded,
+        nnz=count,
         fill=init_a,
     )
     return coo_to_csr(coo)
@@ -272,52 +382,38 @@ def _mxm_numeric(A, B, init_a, op_mul, op_add, products_cap, out_capacity):
     k2, n = B.shape
     assert k == k2, "mxm shape mismatch"
 
+    cap = products_cap
     deg_b = jnp.diff(B.indptr)
     a_cols = jnp.clip(A.cols, 0, max(k - 1, 0))
-    src, local, slot_valid = _expand_schedule(
-        deg_b[a_cols], A.valid_mask(), products_cap
-    )
-    i = A.row_ids[src]
-    a_val = A.values[src]
-    b_pos = jnp.clip(B.indptr[a_cols[src]] + local, 0, max(B.capacity - 1, 0))
+    deg = jnp.where(A.valid_mask(), deg_b[a_cols], 0)
+    ends = jnp.cumsum(deg)
+    starts = ends - deg
+    s_clip = jnp.clip(starts, 0, cap)
+    t = jnp.arange(cap, dtype=ends.dtype)
+    i, a_val, b_base, start_exp = _expand_entry_streams(
+        A.row_ids, A.values, B.indptr[a_cols], starts, s_clip, cap)
+    local = (t - start_exp).astype(jnp.int32)
+    total = ends[-1] if ends.shape[0] else jnp.zeros((), ends.dtype)
+    slot_valid = t < total
+
+    b_pos = jnp.clip(b_base + local, 0, max(B.capacity - 1, 0))
     j = B.cols[b_pos]
     b_val = B.values[b_pos]
     prod = op_mul(a_val, b_val)
 
     rows = jnp.where(slot_valid, i, m).astype(jnp.int32)
     cols = jnp.where(slot_valid, j, n).astype(jnp.int32)
-    rows, cols, prod, slot_valid = lax.sort(
-        (rows, cols, prod, slot_valid), num_keys=2
-    )
-
-    heads = jnp.concatenate(
-        [
-            jnp.ones((1,), jnp.bool_),
-            (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1]),
-        ]
-    )
-    cap = products_cap
-    # fold duplicate (row, col) runs: run ids come from the sort, then the
-    # reduction takes segment_fold's scatter path for hardware monoids
-    # (a single TPU scatter-add) or the segmented scan otherwise
-    run_id = (jnp.cumsum(heads) - 1).astype(jnp.int32)
-    folded, has = segment_fold(prod, run_id, slot_valid, cap, op_add, init_a)
-    (head_pos,) = jnp.nonzero(heads, size=cap, fill_value=cap)
-    head_c = jnp.clip(head_pos, 0, cap - 1)
-    run_rows = jnp.where(head_pos < cap, rows[head_c], m)
-    run_cols = jnp.where(head_pos < cap, cols[head_c], n)
-    keep = has & (run_rows < m) & (folded != init_a)
-
+    rows, cols, prod = lax.sort((rows, cols, prod), num_keys=2)
     out_cap = out_capacity if out_capacity is not None else cap
-    (pos,) = jnp.nonzero(keep, size=out_cap, fill_value=cap)
-    posc = jnp.clip(pos, 0, cap - 1)
-    ok = pos < cap
+    run_rows, run_cols, folded, count = _run_fold_compact(
+        rows, cols, prod, rows < m, op_add, init_a, cap, m, out_cap,
+        drop_init=True)
     coo = CooMatrix(
         shape=(m, n),
-        rows=jnp.where(ok, run_rows[posc], m).astype(jnp.int32),
-        cols=jnp.where(ok, run_cols[posc], 0).astype(jnp.int32),
-        values=jnp.where(ok, folded[posc], init_a),
-        nnz=jnp.sum(keep).astype(jnp.int32),
+        rows=run_rows,
+        cols=run_cols,
+        values=folded,
+        nnz=count,
         fill=init_a,
     )
     return coo_to_csr(coo)
