@@ -135,12 +135,53 @@ def _bfs_kernel_pallas(fmt, source, monoid=True,
         # (window-major [nwr, 128]) and output ([n_rb*128, 128]) layouts
         # coincide, so v/frontier stay 2D across levels — no per-level
         # flatten/pad round trips (the glue dominated road-graph BFS)
+        from .pallas.spmv import (BFS_UPDATE_MAX_RB, bfs_level_update,
+                                  bfs_resident)
+
+        # fully-resident whole-BFS kernel when the format fits VMEM
+        # (pattern pairs + three state arrays): zero HBM traffic per level
+        v_res = bfs_resident(fmt, source)
+        if v_res is not None:
+            return v_res.reshape(-1)[:n]
+
         cwr = fmt.cw // 128
         nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+        nwc = nwr // cwr
         R = fmt.n_row_blocks * 128  # R >= nwr (both ceil n/128, R coarser)
         v0 = jnp.zeros((R, 128), jnp.int32)
         front0 = jnp.zeros((R, 128), jnp.float32).at[
             source // 128, source % 128].set(1.0)
+        act0 = jnp.any(
+            front0[:nwr].reshape(nwc, cwr * 128) > 0, axis=1
+        ).astype(jnp.int32)
+
+        if fmt.n_row_blocks <= BFS_UPDATE_MAX_RB:
+            # level update (depth assignment, new frontier, next level's
+            # window activity, count) fused into ONE resident Pallas pass:
+            # the separate XLA elementwise ops measured ~136 us/level on
+            # the 2047-level road benchmark
+            def cond2(state):
+                return state[4] > 0
+
+            def body2(state):
+                v, front, act, depth, _ = state
+                hits = fused_spmv2d_adaptive(
+                    fmt, front[:nwr], op_mul=_structural_or,
+                    op_add=jnp.maximum, identity=0.0,
+                    front_factor=front_factor, act=act,
+                )
+                v, front, act, cnt = bfs_level_update(fmt, hits, v, front,
+                                                      depth)
+                return (v, front, act, depth + 1, cnt)
+
+            v, _, _, _, _ = lax.while_loop(
+                cond2, body2,
+                (v0, front0, act0, jnp.int32(1), jnp.float32(1)),
+            )
+            # (every frontier gets its depth inside the loop: the update
+            # that PRODUCES an empty next-frontier also assigns the last
+            # nonempty one)
+            return v.reshape(-1)[:n]
 
         def cond2(state):
             return state[3] > 0

@@ -1574,7 +1574,8 @@ def _sparse_grid_batches(nb: int) -> int:
 
 
 def fused_spmv2d_adaptive(fmt: FusedCellSpmv, x2d, op_mul, op_add,
-                          identity, front_factor=jnp.float32(0.1)):
+                          identity, front_factor=jnp.float32(0.1),
+                          act=None):
     """2D-layout core of the adaptive SpMV: takes the padded window-major
     input ``x2d [nwr, 128]`` and returns the padded output
     ``[n_rb*128, 128]`` — for square operators the two layouts coincide
@@ -1587,9 +1588,10 @@ def fused_spmv2d_adaptive(fmt: FusedCellSpmv, x2d, op_mul, op_add,
     nwc = nwr // cwr
     nb = fmt.n_tiles // FUSED_K
     nbs = _sparse_grid_batches(nb)
-    act = jnp.any(
-        x2d.reshape(nwc, cwr * 128) != ident, axis=1
-    ).astype(jnp.int32)
+    if act is None:
+        act = jnp.any(
+            x2d.reshape(nwc, cwr * 128) != ident, axis=1
+        ).astype(jnp.int32)
     act_b = jnp.take(act, fmt.wb_of_batch)
     n_act = jnp.sum(act_b)
     # active-batch list WITHOUT a sort: a TPU argsort of ~1K elements is a
@@ -1666,6 +1668,256 @@ def fused_spmv2d_adaptive(fmt: FusedCellSpmv, x2d, op_mul, op_add,
 
     return lax.cond(use_sparse, run_sparse, run_full, x2d, act, lst,
                     n_act.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Fully-resident BFS: the ENTIRE level loop runs inside one pallas_call
+# with the packed tiles, the depth vector, the frontier and the hit
+# accumulator all resident in VMEM.  Per level the only work is an
+# activity-gated sweep over tile batches plus a VMEM-bandwidth
+# elementwise update — no HBM round trips at all (the two-kernel
+# formulation still streamed ~20 MB of state per level, ~100 us on the
+# 2047-level road benchmark).  Applicable when the pattern-pair format
+# plus three (R, 128) state arrays fit VMEM (~12M edges).
+# ---------------------------------------------------------------------------
+
+RESIDENT_BFS_VMEM = 100 * 1024 * 1024
+
+
+def _make_resident_bfs_kernel(cwr, nb, n_rb, max_depth):
+    woffA, ioffA, woffB, ioffB, soff = _PAIR_LAYOUTS[5][2], \
+        _PAIR_LAYOUTS[5][3], _PAIR_LAYOUTS[5][5], _PAIR_LAYOUTS[5][6], \
+        _PAIR_LAYOUTS[5][7]
+    K2 = FUSED_K // 2
+    R = n_rb * 128
+
+    def kernel(rb_ref, wb_ref, src_ref, f_ref, v_out, front_ref, hits_ref):
+        riota = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        liota = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        src = src_ref[0]
+        front_ref[:] = jnp.where(riota * 128 + liota == src, 1.0, 0.0)
+        v_out[:] = jnp.zeros((R, 128), jnp.int32)
+        siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        sh8 = (siota % 4) * 8
+        sh4 = siota * 4
+
+        def half_psort(fp, xwin, woff, ioff):
+            w_words = fp[woff:woff + 2]
+            wrep = jnp.concatenate(
+                [w_words[0:1]] * 4 + [w_words[1:2]] * 4, axis=0)
+            wbyte = (wrep >> sh8) & 0xFF
+            valid = (wbyte & 0x80) != 0
+            w7 = wbyte & 0x7F
+            r3 = w7 & 7
+            m4 = w7 >> 3
+            xg = jnp.zeros((8, 128), jnp.float32)
+            for q in range(cwr // 8):
+                cand = jnp.take_along_axis(xwin[8 * q: 8 * q + 8], r3,
+                                           axis=0)
+                xg = jnp.where(m4 == q, cand, xg)
+            prod = jnp.where(valid, xg, 0.0)  # pattern: values all 1.0
+            i_words = fp[ioff:ioff + 2]
+            irep = jnp.concatenate(
+                [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
+            inv = (irep >> sh8) & 0xFF
+            return jnp.take_along_axis(prod, inv, axis=1)
+
+        nwc_k = (R + cwr - 1) // cwr  # window count (R >= nwr covers all)
+        n_words = (nwc_k + 23) // 24  # 24 exact bits per f32 scalar
+
+        def window_mask():
+            # per-window activity of the CURRENT front_ref, packed into
+            # f32 scalars (24 bits each): the batch loop then skips
+            # inactive batches with a pure scalar bit test (~ns) instead
+            # of a per-batch VMEM slice + reduce (measured ~0.3 us each)
+            rowmax = []
+            for w in range(nwc_k):
+                lo = min(w * cwr, R - cwr)
+                rowmax.append(jnp.max(front_ref[lo: lo + cwr], axis=0,
+                                      keepdims=True))
+            act2d = jnp.concatenate(rowmax, axis=0)  # (nwc, 128)
+            anyw = (jnp.max(act2d, axis=1, keepdims=True) > 0)  # (nwc, 1)
+            wiota = lax.broadcasted_iota(jnp.int32, (nwc_k, 1), 0)
+            words = []
+            for i in range(n_words):
+                inw = (wiota >= 24 * i) & (wiota < 24 * (i + 1))
+                bit = jnp.where(inw & anyw,
+                                jnp.exp2((wiota - 24 * i).astype(jnp.float32)),
+                                0.0)
+                words.append(jnp.sum(bit))
+            return tuple(words)
+
+        def active_bit(w, words):
+            word = w // 24
+            bit = w % 24
+            m = words[0]
+            for i in range(1, n_words):
+                m = jnp.where(word == i, words[i], m)
+            return (m.astype(jnp.int32) >> bit) & 1
+
+        def level_body(carry):
+            depth = carry[0]
+            words = carry[2:]
+            hits_ref[:] = jnp.zeros((R, 128), jnp.float32)
+
+            def batch_body(b, acc):
+                w = wb_ref[b]
+
+                @pl.when(active_bit(w, words) == 1)
+                def _():
+                    xwin = front_ref[pl.ds(w * cwr, cwr)]
+                    for p in range(K2):
+                        fp = f_ref[b * K2 + p]
+                        psA = half_psort(fp, xwin, woffA, ioffA)
+                        psB = half_psort(fp, xwin, woffB, ioffB)
+                        partsA, partsB = [], []
+                        for q in range(16):
+                            sw = jnp.broadcast_to(fp[soff + q: soff + q + 1],
+                                                  (8, 128))
+                            sk = (sw >> sh4) & 0xF
+                            skm = sk & 7
+                            gkA = jnp.take_along_axis(psA, skm, axis=0)
+                            gkB = jnp.take_along_axis(psB, skm, axis=0)
+                            isA = sk < 8
+                            partsA.append(jnp.where(isA, gkA, 0.0))
+                            partsB.append(jnp.where(isA, 0.0, gkB))
+                        deltaA = jnp.concatenate(partsA, axis=0)
+                        deltaB = jnp.concatenate(partsB, axis=0)
+                        g0A = rb_ref[b * FUSED_K + 2 * p] * 128
+                        hits_ref[pl.ds(g0A, 128)] = jnp.maximum(
+                            hits_ref[pl.ds(g0A, 128)], deltaA)
+                        g0B = rb_ref[b * FUSED_K + 2 * p + 1] * 128
+                        hits_ref[pl.ds(g0B, 128)] = jnp.maximum(
+                            hits_ref[pl.ds(g0B, 128)], deltaB)
+
+                return acc
+
+            lax.fori_loop(0, nb, batch_body, jnp.int32(0))
+            v2 = jnp.where(front_ref[:] > 0, depth, v_out[:])
+            fnew = jnp.where((hits_ref[:] > 0) & (v2 == 0), 1.0, 0.0)
+            v_out[:] = v2
+            front_ref[:] = fnew
+            return (depth + 1, jnp.sum(fnew)) + window_mask()
+
+        lax.while_loop(
+            lambda c: (c[1] > 0) & (c[0] < max_depth), level_body,
+            (jnp.int32(1), jnp.float32(1.0)) + window_mask(),
+        )
+
+    return kernel
+
+
+def bfs_resident(fmt: FusedCellSpmv, source):
+    """Whole-BFS kernel (see the section comment); returns the depth
+    vector as the padded (R, 128) layout, or None when the format does
+    not fit residence (caller falls back to the level-loop path)."""
+    if fmt.layout != 5 or fmt.m != fmt.n:
+        return None
+    R = fmt.n_row_blocks * 128
+    state_bytes = 3 * R * 128 * 4
+    if fmt.fused.nbytes + state_bytes > RESIDENT_BFS_VMEM:
+        return None
+    cwr = fmt.cw // 128
+    nb = fmt.n_tiles // FUSED_K
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # rb_of_tile, wb_of_batch, source
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(fmt.fused.shape, lambda c, rb, wb, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, 128), lambda c, rb, wb, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+        ],
+    )
+    v = pl.pallas_call(
+        _make_resident_bfs_kernel(cwr, nb, fmt.n_row_blocks, R * 128 + 2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=_should_interpret(),
+    )(fmt.rb_of_tile, fmt.wb_of_batch,
+      jnp.reshape(source, (1,)).astype(jnp.int32), fmt.fused)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Fused BFS level update: one VMEM-resident pass computing the depth
+# assignment, the new frontier, the per-window activity for the NEXT
+# level's sparse grid, and the frontier count.  The same work as XLA
+# elementwise ops measured ~136 us per level on the road-graph benchmark
+# (independent passes over the (R, 128) state + while-loop overhead);
+# fused it is a single ~20 us kernel.  Reference analog: the elementwise
+# v_assign_masked/v_count_mf steps of ``src/algorithm.cpp:86-117``.
+# ---------------------------------------------------------------------------
+
+BFS_UPDATE_MAX_RB = 256  # 5 resident (R,128) arrays at 64 KB/rb each: 80 MB
+
+
+def _make_bfs_update_kernel(nwc, cwr):
+    def kernel(depth_ref, hits_ref, v_ref, front_ref, v_out, front_out,
+               act_out, cnt_out):
+        depth = depth_ref[0]
+        v2 = jnp.where(front_ref[:] > 0, depth, v_ref[:])
+        fnew = jnp.where((hits_ref[:] > 0) & (v2 == 0), 1.0, 0.0)
+        v_out[:] = v2
+        front_out[:] = fnew
+        cnt_out[:] = jnp.sum(fnew, axis=0, keepdims=True)
+        for w in range(nwc):
+            act_out[w, :] = jnp.max(fnew[w * cwr: (w + 1) * cwr], axis=0)
+
+    return kernel
+
+
+def bfs_level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d, depth):
+    """(v', front', act, count) for one BFS level, fused on-chip.
+    ``act`` is the per-window activity vector consumed by the next
+    level's :func:`fused_spmv2d_adaptive` call."""
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    nwc = nwr // cwr
+    R = fmt.n_row_blocks * 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # depth
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nwc, 128), lambda c, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda c, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    v2, fnew, act2d, cnt = pl.pallas_call(
+        _make_bfs_update_kernel(nwc, cwr),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nwc, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_should_interpret(),
+    )(jnp.reshape(depth, (1,)).astype(jnp.int32), hits2d, v2d, front2d)
+    act = jnp.any(act2d > 0, axis=1).astype(jnp.int32)
+    return v2, fnew, act, jnp.sum(cnt)
 
 
 @partial(
