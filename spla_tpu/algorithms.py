@@ -349,6 +349,14 @@ def _sssp_kernel_pallas(fmt, source, front_factor=jnp.float32(0.1)):
     if adaptive:
         # 2D-layout loop (see _bfs_kernel_pallas): v/feedback stay in the
         # kernel's padded layout, no per-level flatten/pad round trips
+        from .pallas.spmv import sssp_resident
+
+        # fully-resident whole-SSSP kernel when the value-pair format
+        # fits VMEM: zero HBM traffic per relaxation round
+        v_res = sssp_resident(fmt, source)
+        if v_res is not None:
+            return v_res.reshape(-1)[:n]
+
         cwr = fmt.cw // 128
         nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
         R = fmt.n_row_blocks * 128  # R >= nwr

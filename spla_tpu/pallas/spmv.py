@@ -1671,37 +1671,46 @@ def fused_spmv2d_adaptive(fmt: FusedCellSpmv, x2d, op_mul, op_add,
 
 
 # ---------------------------------------------------------------------------
-# Fully-resident BFS: the ENTIRE level loop runs inside one pallas_call
-# with the packed tiles, the depth vector, the frontier and the hit
-# accumulator all resident in VMEM.  Per level the only work is an
-# activity-gated sweep over tile batches plus a VMEM-bandwidth
+# Fully-resident traversal: the ENTIRE level loop (BFS depth levels, or
+# SSSP Bellman-Ford relaxation rounds with the reference's feedback
+# semantics, ``src/algorithm.cpp:86-117,158-229``) runs inside one
+# pallas_call with the packed tiles, the result vector, the frontier and
+# the hit accumulator all resident in VMEM.  Per level the only work is
+# an activity-gated sweep over tile batches plus a VMEM-bandwidth
 # elementwise update — no HBM round trips at all (the two-kernel
 # formulation still streamed ~20 MB of state per level, ~100 us on the
-# 2047-level road benchmark).  Applicable when the pattern-pair format
-# plus three (R, 128) state arrays fit VMEM (~12M edges).
+# 2047-level road benchmark).  Applicable when the pair format plus
+# three (R, 128) state arrays fit VMEM (~12M edges pattern / ~7M valued).
 # ---------------------------------------------------------------------------
 
-RESIDENT_BFS_VMEM = 100 * 1024 * 1024
+RESIDENT_VMEM = 100 * 1024 * 1024
 
 
-def _make_resident_bfs_kernel(cwr, nb, n_rb, max_depth):
-    woffA, ioffA, woffB, ioffB, soff = _PAIR_LAYOUTS[5][2], \
-        _PAIR_LAYOUTS[5][3], _PAIR_LAYOUTS[5][5], _PAIR_LAYOUTS[5][6], \
-        _PAIR_LAYOUTS[5][7]
+def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
+    """kind='bfs': pattern pairs (layout 5), OR/MAX hits, depth update.
+    kind='sssp': value pairs (layout 4), min-plus hits, feedback update."""
+    _, voffA, woffA, ioffA, voffB, woffB, ioffB, soff = _PAIR_LAYOUTS[layout]
     K2 = FUSED_K // 2
     R = n_rb * 128
+    is_sssp = kind == "sssp"
+    ident = float("inf") if is_sssp else 0.0
+    op_acc = jnp.minimum if is_sssp else jnp.maximum
 
     def kernel(rb_ref, wb_ref, src_ref, f_ref, v_out, front_ref, hits_ref):
         riota = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         liota = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        src = src_ref[0]
-        front_ref[:] = jnp.where(riota * 128 + liota == src, 1.0, 0.0)
-        v_out[:] = jnp.zeros((R, 128), jnp.int32)
+        is_src = riota * 128 + liota == src_ref[0]
+        if is_sssp:
+            v_out[:] = jnp.where(is_src, 0.0, jnp.inf)
+            front_ref[:] = jnp.where(is_src, 0.0, jnp.inf)
+        else:
+            front_ref[:] = jnp.where(is_src, 1.0, 0.0)
+            v_out[:] = jnp.zeros((R, 128), jnp.int32)
         siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         sh8 = (siota % 4) * 8
         sh4 = siota * 4
 
-        def half_psort(fp, xwin, woff, ioff):
+        def half_psort(fp, xwin, voff, woff, ioff):
             w_words = fp[woff:woff + 2]
             wrep = jnp.concatenate(
                 [w_words[0:1]] * 4 + [w_words[1:2]] * 4, axis=0)
@@ -1715,7 +1724,13 @@ def _make_resident_bfs_kernel(cwr, nb, n_rb, max_depth):
                 cand = jnp.take_along_axis(xwin[8 * q: 8 * q + 8], r3,
                                            axis=0)
                 xg = jnp.where(m4 == q, cand, xg)
-            prod = jnp.where(valid, xg, 0.0)  # pattern: values all 1.0
+            if voff is None:
+                prod = xg  # pattern: values all 1.0, OR == pass-through
+            else:
+                vals = lax.bitcast_convert_type(fp[voff:voff + 8],
+                                                jnp.float32)
+                prod = vals + xg  # min-plus multiply
+            prod = jnp.where(valid, prod, ident)
             i_words = fp[ioff:ioff + 2]
             irep = jnp.concatenate(
                 [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
@@ -1730,13 +1745,18 @@ def _make_resident_bfs_kernel(cwr, nb, n_rb, max_depth):
             # f32 scalars (24 bits each): the batch loop then skips
             # inactive batches with a pure scalar bit test (~ns) instead
             # of a per-batch VMEM slice + reduce (measured ~0.3 us each)
-            rowmax = []
+            wred = jnp.min if is_sssp else jnp.max
+            rowred = []
             for w in range(nwc_k):
                 lo = min(w * cwr, R - cwr)
-                rowmax.append(jnp.max(front_ref[lo: lo + cwr], axis=0,
-                                      keepdims=True))
-            act2d = jnp.concatenate(rowmax, axis=0)  # (nwc, 128)
-            anyw = (jnp.max(act2d, axis=1, keepdims=True) > 0)  # (nwc, 1)
+                rowred.append(wred(front_ref[lo: lo + cwr], axis=0,
+                                   keepdims=True))
+            act2d = jnp.concatenate(rowred, axis=0)  # (nwc, 128)
+            if is_sssp:
+                anyw = (jnp.min(act2d, axis=1, keepdims=True)
+                        < jnp.float32(jnp.inf))
+            else:
+                anyw = (jnp.max(act2d, axis=1, keepdims=True) > 0)
             wiota = lax.broadcasted_iota(jnp.int32, (nwc_k, 1), 0)
             words = []
             for i in range(n_words):
@@ -1756,9 +1776,9 @@ def _make_resident_bfs_kernel(cwr, nb, n_rb, max_depth):
             return (m.astype(jnp.int32) >> bit) & 1
 
         def level_body(carry):
-            depth = carry[0]
+            it = carry[0]
             words = carry[2:]
-            hits_ref[:] = jnp.zeros((R, 128), jnp.float32)
+            hits_ref[:] = jnp.full((R, 128), ident, jnp.float32)
 
             def batch_body(b, acc):
                 w = wb_ref[b]
@@ -1768,8 +1788,8 @@ def _make_resident_bfs_kernel(cwr, nb, n_rb, max_depth):
                     xwin = front_ref[pl.ds(w * cwr, cwr)]
                     for p in range(K2):
                         fp = f_ref[b * K2 + p]
-                        psA = half_psort(fp, xwin, woffA, ioffA)
-                        psB = half_psort(fp, xwin, woffB, ioffB)
+                        psA = half_psort(fp, xwin, voffA, woffA, ioffA)
+                        psB = half_psort(fp, xwin, voffB, woffB, ioffB)
                         partsA, partsB = [], []
                         for q in range(16):
                             sw = jnp.broadcast_to(fp[soff + q: soff + q + 1],
@@ -1779,43 +1799,49 @@ def _make_resident_bfs_kernel(cwr, nb, n_rb, max_depth):
                             gkA = jnp.take_along_axis(psA, skm, axis=0)
                             gkB = jnp.take_along_axis(psB, skm, axis=0)
                             isA = sk < 8
-                            partsA.append(jnp.where(isA, gkA, 0.0))
-                            partsB.append(jnp.where(isA, 0.0, gkB))
+                            partsA.append(jnp.where(isA, gkA, ident))
+                            partsB.append(jnp.where(isA, ident, gkB))
                         deltaA = jnp.concatenate(partsA, axis=0)
                         deltaB = jnp.concatenate(partsB, axis=0)
                         g0A = rb_ref[b * FUSED_K + 2 * p] * 128
-                        hits_ref[pl.ds(g0A, 128)] = jnp.maximum(
+                        hits_ref[pl.ds(g0A, 128)] = op_acc(
                             hits_ref[pl.ds(g0A, 128)], deltaA)
                         g0B = rb_ref[b * FUSED_K + 2 * p + 1] * 128
-                        hits_ref[pl.ds(g0B, 128)] = jnp.maximum(
+                        hits_ref[pl.ds(g0B, 128)] = op_acc(
                             hits_ref[pl.ds(g0B, 128)], deltaB)
 
                 return acc
 
             lax.fori_loop(0, nb, batch_body, jnp.int32(0))
-            v2 = jnp.where(front_ref[:] > 0, depth, v_out[:])
-            fnew = jnp.where((hits_ref[:] > 0) & (v2 == 0), 1.0, 0.0)
-            v_out[:] = v2
-            front_ref[:] = fnew
-            return (depth + 1, jnp.sum(fnew)) + window_mask()
+            if is_sssp:
+                new_v = jnp.minimum(v_out[:], hits_ref[:])
+                changed = new_v < v_out[:]
+                v_out[:] = new_v
+                front_ref[:] = jnp.where(changed, new_v, jnp.inf)
+                cnt = jnp.sum(changed.astype(jnp.float32))
+            else:
+                v2 = jnp.where(front_ref[:] > 0, it, v_out[:])
+                fnew = jnp.where((hits_ref[:] > 0) & (v2 == 0), 1.0, 0.0)
+                v_out[:] = v2
+                front_ref[:] = fnew
+                cnt = jnp.sum(fnew)
+            return (it + 1, cnt) + window_mask()
 
         lax.while_loop(
-            lambda c: (c[1] > 0) & (c[0] < max_depth), level_body,
+            lambda c: (c[1] > 0) & (c[0] < max_iters), level_body,
             (jnp.int32(1), jnp.float32(1.0)) + window_mask(),
         )
 
     return kernel
 
 
-def bfs_resident(fmt: FusedCellSpmv, source):
-    """Whole-BFS kernel (see the section comment); returns the depth
-    vector as the padded (R, 128) layout, or None when the format does
-    not fit residence (caller falls back to the level-loop path)."""
-    if fmt.layout != 5 or fmt.m != fmt.n:
+def _resident_call(fmt: FusedCellSpmv, source, kind):
+    layout = 4 if kind == "sssp" else 5
+    if fmt.layout != layout or fmt.m != fmt.n:
         return None
     R = fmt.n_row_blocks * 128
     state_bytes = 3 * R * 128 * 4
-    if fmt.fused.nbytes + state_bytes > RESIDENT_BFS_VMEM:
+    if fmt.fused.nbytes + state_bytes > RESIDENT_VMEM:
         return None
     cwr = fmt.cw // 128
     nb = fmt.n_tiles // FUSED_K
@@ -1833,16 +1859,31 @@ def bfs_resident(fmt: FusedCellSpmv, source):
             pltpu.VMEM((R, 128), jnp.float32),
         ],
     )
+    out_dtype = jnp.float32 if kind == "sssp" else jnp.int32
     v = pl.pallas_call(
-        _make_resident_bfs_kernel(cwr, nb, fmt.n_row_blocks, R * 128 + 2),
+        _make_resident_kernel(kind, layout, cwr, nb, fmt.n_row_blocks,
+                              R * 128 + 2),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((R, 128), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_should_interpret(),
     )(fmt.rb_of_tile, fmt.wb_of_batch,
       jnp.reshape(source, (1,)).astype(jnp.int32), fmt.fused)
     return v
+
+
+def bfs_resident(fmt: FusedCellSpmv, source):
+    """Whole-BFS kernel (see the section comment); returns the depth
+    vector as the padded (R, 128) layout, or None when the format does
+    not fit residence (caller falls back to the level-loop path)."""
+    return _resident_call(fmt, source, "bfs")
+
+
+def sssp_resident(fmt: FusedCellSpmv, source):
+    """Whole-SSSP kernel: every relaxation round on-chip, feedback
+    frontier semantics; returns the (R, 128) distance layout or None."""
+    return _resident_call(fmt, source, "sssp")
 
 
 # ---------------------------------------------------------------------------

@@ -681,3 +681,49 @@ def test_fused_pair_layouts_match_flat():
         identity=0.0, front_factor=jnp.float32(1.0)))
     ref2 = ((a.tocsr() @ x2) != 0).astype(np.float32)
     np.testing.assert_array_equal(h4 > 0, ref2 > 0)
+
+
+def test_resident_traversal_kernels_vs_oracle():
+    # the fully-resident whole-traversal kernels (BFS pattern pairs,
+    # SSSP value pairs) must trigger for VMEM-sized graphs and match
+    # the scipy oracles exactly (reference semantics:
+    # src/algorithm.cpp:86-117 BFS, :158-229 SSSP feedback)
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (build_fused_cell_spmv_arrays,
+                                      bfs_resident, sssp_resident)
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    import scipy.sparse.csgraph as cg
+
+    rng = np.random.default_rng(123)
+    n = 700
+    r = rng.integers(0, n, 2000).astype(np.int32)
+    c = rng.integers(0, n, 2000).astype(np.int32)
+    keep = r != c
+    a = sp.coo_matrix((rng.uniform(0.1, 2.0, keep.sum()).astype(np.float32),
+                       (r[keep], c[keep])), shape=(n, n))
+    a = a.maximum(a.T).tocsr()
+    a.sum_duplicates()
+    coo = a.tocoo()
+
+    fmt_p = build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        np.ones(coo.nnz, np.float32), cw=1024, pattern=True)
+    v = bfs_resident(fmt_p, jnp.int32(0))
+    assert v is not None, "resident gate must pass for a VMEM-sized graph"
+    lev = np.asarray(v).reshape(-1)[:n]
+    ref = cg.shortest_path(a, method="D", unweighted=True, indices=0)
+    finite = np.isfinite(ref)
+    assert np.all(lev[finite] == ref[finite] + 1)
+    assert np.all(lev[~finite] == 0)
+
+    fmt_w = build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        coo.data, cw=1024)
+    d = sssp_resident(fmt_w, jnp.int32(0))
+    assert d is not None
+    dist = np.asarray(d).reshape(-1)[:n]
+    refd = cg.dijkstra(a, indices=0)
+    np.testing.assert_allclose(dist[finite], refd[finite], rtol=1e-5)
+    assert np.all(np.isinf(dist[~finite]))
