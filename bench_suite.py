@@ -227,6 +227,28 @@ def main():
          n=nf, facade_ms=round(dtf * 1e3, 1), functional_ms=round(dtfn * 1e3, 1),
          device=dev)
 
+    # ---- exclusive prefix-scan micro-bench (reference publishes absolute
+    # numbers: 500k ~= 1.35-1.52 ms, 1M ~= 2.65-2.93 ms on its GPU,
+    # src/opencl/cl_prefix_sum.hpp:45-49) ----
+    from spla_tpu.utils.primitives import prefix_sum
+
+    for np_, label in ((500_000, "prefix_scan_500k_ms"),
+                       (1_000_000, "prefix_scan_1m_ms")):
+        xs = jnp.asarray(np.random.default_rng(1).random(np_, np.float32))
+
+        @jax.jit
+        def scan_chain(x0):
+            def body(k, x):
+                # unique per-iteration perturbation defeats memoization
+                return prefix_sum(x * (1.0 + k * 1e-7))
+            return jax.lax.fori_loop(0, 50, body, x0)
+
+        float(np.asarray(jnp.sum(scan_chain(xs))))  # warm-up
+        t0 = time.perf_counter()
+        float(np.asarray(jnp.sum(scan_chain(xs))))
+        dtp = (time.perf_counter() - t0) / 50
+        emit(label, dtp * 1e3, "ms", n=np_, device=dev)
+
     # ---- SpGEMM (masked mxmT, triangle counting core) ----
     nt = 1 << (12 if args.small else 15)
     At = random_graph(nt, 24, seed=3)
