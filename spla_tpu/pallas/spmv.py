@@ -1115,7 +1115,10 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
 # Reference role: ``kernels/mxv.cl:44-81`` (pull SpMV).
 # ---------------------------------------------------------------------------
 
-FUSED_K = 32  # tiles per grid step; the packer pads windows to multiples
+# tiles per grid step; the packer pads windows to multiples (env knob
+# for hardware A/B: bigger K amortizes the ~190 ns fixed per-grid-step
+# cost against more window-pad tiles)
+FUSED_K = int(os.environ.get("SPLA_FUSED_K", "32"))
 FUSED_MAX_RB = 1024  # resident output cap: 1024 row blocks = 64 MB VMEM
 
 
