@@ -167,6 +167,30 @@ def main():
          nnz=int(Ard.nnz), levels=int(lv.max()), ms=round(dtr * 1e3, 1),
          device=dev)
 
+    # ---- road-class SSSP (resident whole-traversal kernel when the
+    # valued pair format fits VMEM; ~2*side relaxation rounds) ----
+    side_s = 1 << (7 if args.small else 9)
+    nrs = side_s * side_s
+    sel = (rr < nrs) & (cc < nrs)
+    wrng = np.random.default_rng(9)
+    Wrd = sp.csr_matrix(
+        (wrng.uniform(0.1, 1.0, int(sel.sum())).astype(np.float32),
+         (rr[sel], cc[sel])), shape=(nrs, nrs))
+    Wrdc = F.csr_from_scipy(Wrd)
+    dist = alg.sssp(Wrdc, 0)
+    np.asarray(dist.values)  # warm-up
+    dts = float("inf")
+    for _ in range(2):
+        src = jnp.asarray(0, jnp.int32)
+        t0 = time.perf_counter()
+        for k in range(rreps):
+            dist = alg.sssp(Wrdc, src)
+            src = (jnp.argmin(dist.values) * 0 + k + 1).astype(jnp.int32)
+        np.asarray(src)
+        dts = min(dts, (time.perf_counter() - t0) / rreps)
+    emit("road_sssp_ms", dts * 1e3, "ms", n=nrs, nnz=int(Wrd.nnz),
+         device=dev)
+
     # ---- facade chained ops vs functional layer ----
     # device-resident facade criterion: a 10-op chained pipeline through
     # the pyspla-parity objects must stay within ~2x of the functional
