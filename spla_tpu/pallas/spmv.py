@@ -1709,6 +1709,11 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
         else:
             front_ref[:] = jnp.where(is_src, 1.0, 0.0)
             v_out[:] = jnp.zeros((R, 128), jnp.int32)
+        # the hit accumulator is initialized ONCE, never per level: both
+        # update rules ignore stale hits (BFS: a previously-hit vertex
+        # has v != 0; SSSP: min(v, stale) == v since v absorbed it), so
+        # monotone accumulation saves a full (R,128) VMEM clear per level
+        hits_ref[:] = jnp.full((R, 128), ident, jnp.float32)
         siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         sh8 = (siota % 4) * 8
         sh4 = siota * 4
@@ -1781,7 +1786,6 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
         def level_body(carry):
             it = carry[0]
             words = carry[2:]
-            hits_ref[:] = jnp.full((R, 128), ident, jnp.float32)
 
             def batch_body(b, acc):
                 w = wb_ref[b]
