@@ -1140,11 +1140,15 @@ class FusedCellSpmv:
     slots: int
     nnz: int
     layout: int = 1
+    # per-batch OUTPUT-window bitmask ([T//FUSED_K * n_words] int32, 24
+    # bits per word): which input-windows' row ranges a batch's tiles can
+    # write — drives the resident kernels' active-window level update
+    ow_of_batch: jax.Array | None = None
 
 
 jax.tree_util.register_dataclass(
     FusedCellSpmv,
-    data_fields=["fused", "rb_of_tile", "wb_of_batch"],
+    data_fields=["fused", "rb_of_tile", "wb_of_batch", "ow_of_batch"],
     meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz",
                  "layout"],
 )
@@ -1201,6 +1205,26 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     else:
         fused_dev = jnp.asarray(np.asarray(fused).reshape(nt // 2, 56, 128))
         layout = 1
+    # per-batch output-window bitmask for the resident kernels' gated
+    # level update: windows spanned by each tile's 128-row output block.
+    # Only computed for resident-eligible formats (the host pass is
+    # O(tiles * 128/cwr) and useless for formats too big for VMEM).
+    ow = None
+    if fused_dev.nbytes + 3 * n_rb * 128 * 128 * 4 <= RESIDENT_VMEM:
+        cwr_b = cw // 128
+        nwc_k = (n_rb * 128) // cwr_b
+        n_words = (nwc_k + 23) // 24
+        rbt = np.asarray(rb_t, np.int64)
+        nbch = int(nt) // FUSED_K
+        ow = np.zeros((nbch, n_words), np.int32)
+        w_lo = (rbt * 128) // cwr_b
+        w_hi = np.minimum((rbt * 128 + 127) // cwr_b, nwc_k - 1)
+        bi = np.arange(int(nt)) // FUSED_K
+        for s in range(max(128 // cwr_b, 1)):
+            w = np.minimum(w_lo + s, w_hi)
+            np.bitwise_or.at(ow, (bi, w // 24),
+                             (np.int32(1) << (w % 24).astype(np.int32)))
+        ow = jnp.asarray(ow.reshape(-1))
     return FusedCellSpmv(
         m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
         fused=fused_dev,
@@ -1208,6 +1232,7 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
         wb_of_batch=jnp.asarray(wb_t[::FUSED_K].copy()),
         slots=int(nt) * TILE, nnz=nnz,
         layout=layout,
+        ow_of_batch=ow,
     )
 
 
@@ -1689,17 +1714,32 @@ def fused_spmv2d_adaptive(fmt: FusedCellSpmv, x2d, op_mul, op_add,
 RESIDENT_VMEM = 100 * 1024 * 1024
 
 
+RESIDENT_GATED_MAX_WINDOWS = 128  # unrolled per-window update blocks
+
+
 def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
     """kind='bfs': pattern pairs (layout 5), OR/MAX hits, depth update.
-    kind='sssp': value pairs (layout 4), min-plus hits, feedback update."""
+    kind='sssp': value pairs (layout 4), min-plus hits, feedback update.
+
+    The level update is ACTIVE-WINDOW GATED when the window count allows
+    (<= RESIDENT_GATED_MAX_WINDOWS): only windows that held frontier
+    (carried bit) or received fresh hits (OR of the per-batch
+    output-window masks of the batches that ran) are touched — a
+    near-converged road-graph level updates ~3 windows instead of
+    streaming the whole (R, 128) state five times."""
     _, voffA, woffA, ioffA, voffB, woffB, ioffB, soff = _PAIR_LAYOUTS[layout]
     K2 = FUSED_K // 2
     R = n_rb * 128
     is_sssp = kind == "sssp"
     ident = float("inf") if is_sssp else 0.0
     op_acc = jnp.minimum if is_sssp else jnp.maximum
+    nwc_k = R // cwr  # window count over the padded layout (covers all)
+    n_words = (nwc_k + 23) // 24  # 24 bits per int32-safe f32 scalar
+    gated = nwc_k <= RESIDENT_GATED_MAX_WINDOWS
+    S = max(nwc_k, 8)  # stats rows (>= 8 sublanes)
 
-    def kernel(rb_ref, wb_ref, src_ref, f_ref, v_out, front_ref, hits_ref):
+    def kernel(rb_ref, wb_ref, ow_ref, src_ref, f_ref, v_out, front_ref,
+               hits_ref, stats_ref):
         riota = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         liota = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         is_src = riota * 128 + liota == src_ref[0]
@@ -1714,6 +1754,13 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
         # has v != 0; SSSP: min(v, stale) == v since v absorbed it), so
         # monotone accumulation saves a full (R,128) VMEM clear per level
         hits_ref[:] = jnp.full((R, 128), ident, jnp.float32)
+        # per-window per-lane count of current-front entries; invariant:
+        # a window's row is nonzero only if its front bit is set
+        fcnt = jnp.where(is_src, 1.0, 0.0)
+        stats_ref[:] = jnp.zeros((S, 128), jnp.float32)
+        for w in range(nwc_k):
+            stats_ref[w: w + 1] = jnp.sum(fcnt[w * cwr:(w + 1) * cwr],
+                                          axis=0, keepdims=True)
         siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         sh8 = (siota % 4) * 8
         sh4 = siota * 4
@@ -1745,52 +1792,45 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
             inv = (irep >> sh8) & 0xFF
             return jnp.take_along_axis(prod, inv, axis=1)
 
-        nwc_k = (R + cwr - 1) // cwr  # window count (R >= nwr covers all)
-        n_words = (nwc_k + 23) // 24  # 24 exact bits per f32 scalar
-
-        def window_mask():
-            # per-window activity of the CURRENT front_ref, packed into
-            # f32 scalars (24 bits each): the batch loop then skips
+        def pack_words():
+            # per-window any-new-front bits from the stats rows, packed
+            # into f32 scalars (24 bits each): the batch loop then skips
             # inactive batches with a pure scalar bit test (~ns) instead
             # of a per-batch VMEM slice + reduce (measured ~0.3 us each)
-            wred = jnp.min if is_sssp else jnp.max
-            rowred = []
-            for w in range(nwc_k):
-                lo = min(w * cwr, R - cwr)
-                rowred.append(wred(front_ref[lo: lo + cwr], axis=0,
-                                   keepdims=True))
-            act2d = jnp.concatenate(rowred, axis=0)  # (nwc, 128)
-            if is_sssp:
-                anyw = (jnp.min(act2d, axis=1, keepdims=True)
-                        < jnp.float32(jnp.inf))
-            else:
-                anyw = (jnp.max(act2d, axis=1, keepdims=True) > 0)
-            wiota = lax.broadcasted_iota(jnp.int32, (nwc_k, 1), 0)
+            anyw = (jnp.sum(stats_ref[:], axis=1, keepdims=True)
+                    > 0)  # (S, 1)
+            wiota = lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+            inb = wiota < nwc_k
             words = []
             for i in range(n_words):
                 inw = (wiota >= 24 * i) & (wiota < 24 * (i + 1))
-                bit = jnp.where(inw & anyw,
+                bit = jnp.where(inw & inb & anyw,
                                 jnp.exp2((wiota - 24 * i).astype(jnp.float32)),
                                 0.0)
                 words.append(jnp.sum(bit))
             return tuple(words)
 
-        def active_bit(w, words):
+        def bit_of(w, words):
             word = w // 24
             bit = w % 24
-            m = words[0]
-            for i in range(1, n_words):
-                m = jnp.where(word == i, words[i], m)
-            return (m.astype(jnp.int32) >> bit) & 1
+            if isinstance(w, int):
+                m = words[word]
+            else:
+                m = words[0]
+                for i in range(1, n_words):
+                    m = jnp.where(word == i, words[i], m)
+            m = m.astype(jnp.int32) if hasattr(m, "astype") else m
+            return (m >> bit) & 1
 
         def level_body(carry):
             it = carry[0]
             words = carry[2:]
 
-            def batch_body(b, acc):
+            def batch_body(b, fw):
                 w = wb_ref[b]
+                act = bit_of(w, words)
 
-                @pl.when(active_bit(w, words) == 1)
+                @pl.when(act == 1)
                 def _():
                     xwin = front_ref[pl.ds(w * cwr, cwr)]
                     for p in range(K2):
@@ -1817,26 +1857,54 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
                         hits_ref[pl.ds(g0B, 128)] = op_acc(
                             hits_ref[pl.ds(g0B, 128)], deltaB)
 
-                return acc
+                if gated:
+                    return tuple(
+                        fw[i] | ow_ref[b * n_words + i] * act
+                        for i in range(n_words))
+                return fw
 
-            lax.fori_loop(0, nb, batch_body, jnp.int32(0))
-            if is_sssp:
-                new_v = jnp.minimum(v_out[:], hits_ref[:])
-                changed = new_v < v_out[:]
-                v_out[:] = new_v
-                front_ref[:] = jnp.where(changed, new_v, jnp.inf)
-                cnt = jnp.sum(changed.astype(jnp.float32))
+            fresh = lax.fori_loop(0, nb, batch_body,
+                                  tuple(jnp.int32(0)
+                                        for _ in range(n_words)))
+
+            def update_window(w):
+                lo = w * cwr
+                fr = front_ref[lo: lo + cwr]
+                hz = hits_ref[lo: lo + cwr]
+                if is_sssp:
+                    vv = v_out[lo: lo + cwr]
+                    new_v = jnp.minimum(vv, hz)
+                    changed = new_v < vv
+                    v_out[lo: lo + cwr] = new_v
+                    front_ref[lo: lo + cwr] = jnp.where(changed, new_v,
+                                                        jnp.inf)
+                    st = jnp.sum(changed.astype(jnp.float32), axis=0,
+                                 keepdims=True)
+                else:
+                    vv = v_out[lo: lo + cwr]
+                    v2 = jnp.where(fr > 0, it, vv)
+                    fnew = jnp.where((hz > 0) & (v2 == 0), 1.0, 0.0)
+                    v_out[lo: lo + cwr] = v2
+                    front_ref[lo: lo + cwr] = fnew
+                    st = jnp.sum(fnew, axis=0, keepdims=True)
+                stats_ref[w: w + 1] = st
+
+            if gated:
+                for w in range(nwc_k):
+                    need = bit_of(w, words) | bit_of(w, fresh)
+
+                    @pl.when(need == 1)
+                    def _(w=w):
+                        update_window(w)
             else:
-                v2 = jnp.where(front_ref[:] > 0, it, v_out[:])
-                fnew = jnp.where((hits_ref[:] > 0) & (v2 == 0), 1.0, 0.0)
-                v_out[:] = v2
-                front_ref[:] = fnew
-                cnt = jnp.sum(fnew)
-            return (it + 1, cnt) + window_mask()
+                for w in range(nwc_k):
+                    update_window(w)
+            cnt = jnp.sum(stats_ref[:])
+            return (it + 1, cnt) + pack_words()
 
         lax.while_loop(
             lambda c: (c[1] > 0) & (c[0] < max_iters), level_body,
-            (jnp.int32(1), jnp.float32(1.0)) + window_mask(),
+            (jnp.int32(1), jnp.float32(1.0)) + pack_words(),
         )
 
     return kernel
@@ -1844,7 +1912,7 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
 
 def _resident_call(fmt: FusedCellSpmv, source, kind):
     layout = 4 if kind == "sssp" else 5
-    if fmt.layout != layout or fmt.m != fmt.n:
+    if fmt.layout != layout or fmt.m != fmt.n or fmt.ow_of_batch is None:
         return None
     R = fmt.n_row_blocks * 128
     state_bytes = 3 * R * 128 * 4
@@ -1852,18 +1920,21 @@ def _resident_call(fmt: FusedCellSpmv, source, kind):
         return None
     cwr = fmt.cw // 128
     nb = fmt.n_tiles // FUSED_K
+    S = max(R // cwr, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # rb_of_tile, wb_of_batch, source
+        num_scalar_prefetch=4,  # rb_of_tile, wb_of_batch, ow, source
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(fmt.fused.shape, lambda c, rb, wb, s: (0, 0, 0),
+            pl.BlockSpec(fmt.fused.shape,
+                         lambda c, rb, wb, ow, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, 128), lambda c, rb, wb, s: (0, 0),
+        out_specs=pl.BlockSpec((R, 128), lambda c, rb, wb, ow, s: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((R, 128), jnp.float32),
             pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((S, 128), jnp.float32),
         ],
     )
     out_dtype = jnp.float32 if kind == "sssp" else jnp.int32
@@ -1875,7 +1946,7 @@ def _resident_call(fmt: FusedCellSpmv, source, kind):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_should_interpret(),
-    )(fmt.rb_of_tile, fmt.wb_of_batch,
+    )(fmt.rb_of_tile, fmt.wb_of_batch, fmt.ow_of_batch,
       jnp.reshape(source, (1,)).astype(jnp.int32), fmt.fused)
     return v
 
