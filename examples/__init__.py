@@ -13,3 +13,14 @@ Run as modules::
     python -m examples.pi  --n 1000000
     python -m examples.convert --in graph.mtx --out out.mtx --stats-only
 """
+
+import os
+
+# The axon TPU plugin ignores JAX_PLATFORMS, so SPLA_PLATFORM=cpu forces
+# the CPU backend through jax.config — this must run before ANY module
+# touches a backend (spla_tpu.algorithms materializes jnp scalars at
+# import), hence here in the package __init__ rather than in common.py.
+if os.environ.get("SPLA_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SPLA_PLATFORM"])
