@@ -727,3 +727,38 @@ def test_resident_traversal_kernels_vs_oracle():
     refd = cg.dijkstra(a, indices=0)
     np.testing.assert_allclose(dist[finite], refd[finite], rtol=1e-5)
     assert np.all(np.isinf(dist[~finite]))
+
+
+def test_resident_multiword_activity_bitmask():
+    # > 24 windows forces multiple packed activity words (bit indexing
+    # across word boundaries in the resident kernels' carry)
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (build_fused_cell_spmv_arrays,
+                                      bfs_resident)
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    import scipy.sparse.csgraph as cg
+
+    rng = np.random.default_rng(42)
+    n = 20000  # 2 row blocks -> R=256, cw=1024 -> 32 windows = 2 words
+    r = rng.integers(0, n, 30000).astype(np.int32)
+    c = rng.integers(0, n, 30000).astype(np.int32)
+    keep = r != c
+    a = sp.coo_matrix((np.ones(int(keep.sum()), np.float32),
+                       (r[keep], c[keep])), shape=(n, n))
+    a = a.maximum(a.T).tocsr()
+    a.sum_duplicates()
+    coo = a.tocoo()
+    fmt = build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        np.ones(coo.nnz, np.float32), cw=1024, pattern=True)
+    v = bfs_resident(fmt, jnp.int32(17))
+    assert v is not None
+    cwr = fmt.cw // 128
+    assert (fmt.n_row_blocks * 128) // cwr > 24  # really multi-word
+    lev = np.asarray(v).reshape(-1)[:n]
+    ref = cg.shortest_path(a, method="D", unweighted=True, indices=17)
+    finite = np.isfinite(ref)
+    assert np.all(lev[finite] == ref[finite] + 1)
+    assert np.all(lev[~finite] == 0)
