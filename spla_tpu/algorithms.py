@@ -135,8 +135,7 @@ def _bfs_kernel_pallas(fmt, source, monoid=True,
         # (window-major [nwr, 128]) and output ([n_rb*128, 128]) layouts
         # coincide, so v/frontier stay 2D across levels — no per-level
         # flatten/pad round trips (the glue dominated road-graph BFS)
-        from .pallas.spmv import (BFS_UPDATE_MAX_RB, bfs_level_update,
-                                  bfs_resident)
+        from .pallas.spmv import bfs_level_update, bfs_resident
 
         # fully-resident whole-BFS kernel when the format fits VMEM
         # (pattern pairs + three state arrays): zero HBM traffic per level
@@ -155,50 +154,32 @@ def _bfs_kernel_pallas(fmt, source, monoid=True,
             front0[:nwr].reshape(nwc, cwr * 128) > 0, axis=1
         ).astype(jnp.int32)
 
-        if fmt.n_row_blocks <= BFS_UPDATE_MAX_RB:
-            # level update (depth assignment, new frontier, next level's
-            # window activity, count) fused into ONE resident Pallas pass:
-            # the separate XLA elementwise ops measured ~136 us/level on
-            # the 2047-level road benchmark
-            def cond2(state):
-                return state[4] > 0
-
-            def body2(state):
-                v, front, act, depth, _ = state
-                hits = fused_spmv2d_adaptive(
-                    fmt, front[:nwr], op_mul=_structural_or,
-                    op_add=jnp.maximum, identity=0.0,
-                    front_factor=front_factor, act=act,
-                )
-                v, front, act, cnt = bfs_level_update(fmt, hits, v, front,
-                                                      depth)
-                return (v, front, act, depth + 1, cnt)
-
-            v, _, _, _, _ = lax.while_loop(
-                cond2, body2,
-                (v0, front0, act0, jnp.int32(1), jnp.float32(1)),
-            )
-            # (every frontier gets its depth inside the loop: the update
-            # that PRODUCES an empty next-frontier also assigns the last
-            # nonempty one)
-            return v.reshape(-1)[:n]
-
+        # level update (depth assignment, new frontier, next level's
+        # window activity, count) fused into ONE Pallas pass (resident,
+        # or streaming chunks past BFS_UPDATE_MAX_RB row blocks): the
+        # separate XLA elementwise ops measured ~136 us/level on the
+        # 2047-level road benchmark
         def cond2(state):
-            return state[3] > 0
+            return state[4] > 0
 
         def body2(state):
-            v, front, depth, _ = state
-            v = jnp.where(front > 0, depth, v)
+            v, front, act, depth, _ = state
             hits = fused_spmv2d_adaptive(
-                fmt, front[:nwr], op_mul=_structural_or, op_add=jnp.maximum,
-                identity=0.0, front_factor=front_factor,
+                fmt, front[:nwr], op_mul=_structural_or,
+                op_add=jnp.maximum, identity=0.0,
+                front_factor=front_factor, act=act,
             )
-            front_new = jnp.where((hits > 0) & (v == 0), 1.0, 0.0)
-            return (v, front_new, depth + 1, jnp.sum(front_new))
+            v, front, act, cnt = bfs_level_update(fmt, hits, v, front,
+                                                  depth)
+            return (v, front, act, depth + 1, cnt)
 
-        v, _, _, _ = lax.while_loop(
-            cond2, body2, (v0, front0, jnp.int32(1), jnp.float32(1))
+        v, _, _, _, _ = lax.while_loop(
+            cond2, body2,
+            (v0, front0, act0, jnp.int32(1), jnp.float32(1)),
         )
+        # (every frontier gets its depth inside the loop: the update
+        # that PRODUCES an empty next-frontier also assigns the last
+        # nonempty one)
         return v.reshape(-1)[:n]
 
     v0 = jnp.zeros((n,), jnp.int32)
@@ -357,28 +338,35 @@ def _sssp_kernel_pallas(fmt, source, front_factor=jnp.float32(0.1)):
         if v_res is not None:
             return v_res.reshape(-1)[:n]
 
+        from .pallas.spmv import sssp_level_update
+
         cwr = fmt.cw // 128
         nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+        nwc = nwr // cwr
         R = fmt.n_row_blocks * 128  # R >= nwr
         v0 = jnp.full((R, 128), inf, jnp.float32).at[
             source // 128, source % 128].set(0.0)
+        act0 = jnp.any(
+            v0[:nwr].reshape(nwc, cwr * 128) < inf, axis=1
+        ).astype(jnp.int32)
 
         def cond2(state):
-            return state[2] > 0
+            return state[3] > 0
 
         def body2(state):
-            v, fdb, _ = state
+            v, fdb, act, _ = state
             frontier = fused_spmv2d_adaptive(
                 fmt, fdb[:nwr], op_mul=_minplus_mul, op_add=jnp.minimum,
-                identity=float("inf"), front_factor=front_factor,
+                identity=float("inf"), front_factor=front_factor, act=act,
             )
-            new_v = jnp.minimum(v, frontier)
-            changed_mask = new_v < v
-            fdb_new = jnp.where(changed_mask, new_v, inf)
-            changed = jnp.sum(changed_mask).astype(jnp.int32)
-            return (new_v, fdb_new, changed)
+            # min-merge + feedback + next-level window activity + count,
+            # fused on-chip (resident or streaming by graph size)
+            new_v, fdb_new, act, changed = sssp_level_update(
+                fmt, frontier, v, fdb)
+            return (new_v, fdb_new, act, changed)
 
-        v, _, _ = lax.while_loop(cond2, body2, (v0, v0, jnp.int32(1)))
+        v, _, _, _ = lax.while_loop(
+            cond2, body2, (v0, v0, act0, jnp.float32(1)))
         return v.reshape(-1)[:n]
 
     v0 = jnp.full((n,), inf, jnp.float32).at[source].set(0.0)

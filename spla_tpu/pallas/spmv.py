@@ -1965,78 +1965,129 @@ def sssp_resident(fmt: FusedCellSpmv, source):
 
 
 # ---------------------------------------------------------------------------
-# Fused BFS level update: one VMEM-resident pass computing the depth
-# assignment, the new frontier, the per-window activity for the NEXT
-# level's sparse grid, and the frontier count.  The same work as XLA
-# elementwise ops measured ~136 us per level on the road-graph benchmark
-# (independent passes over the (R, 128) state + while-loop overhead);
-# fused it is a single ~20 us kernel.  Reference analog: the elementwise
-# v_assign_masked/v_count_mf steps of ``src/algorithm.cpp:86-117``.
+# Fused level update (BFS depth assignment / SSSP feedback): one pass
+# computing the new result vector, the new frontier, the per-window
+# activity for the NEXT level's sparse grid, and the frontier count.
+# The same work as XLA elementwise ops measured ~136 us per level on the
+# road-graph benchmark (independent passes over the (R, 128) state +
+# while-loop overhead); fused it is a single ~20 us kernel.  Graphs past
+# BFS_UPDATE_MAX_RB row blocks run a STREAMING grid variant (2048-row
+# chunks, count accumulated across steps) instead of falling back to
+# XLA glue — the road_central class (14.1M vertices) needs this.
+# Reference analog: the elementwise v_assign_masked/v_count_mf steps of
+# ``src/algorithm.cpp:86-117``.
 # ---------------------------------------------------------------------------
 
 BFS_UPDATE_MAX_RB = 256  # 5 resident (R,128) arrays at 64 KB/rb each: 80 MB
+LEVEL_UPDATE_CHUNK = 2048  # rows per grid step in the streaming variant
 
 
-def _make_bfs_update_kernel(nwc, cwr):
+def _make_level_update_kernel(kind, nwc, cwr, CH, R):
+    """CH == R: single resident block.  CH < R: streaming grid over
+    2048-row chunks; rows past R and windows past nwc are masked, the
+    count block is revisited and accumulated across steps."""
+    is_sssp = kind == "sssp"
+    wpc = CH // cwr  # windows per chunk
+
     def kernel(depth_ref, hits_ref, v_ref, front_ref, v_out, front_out,
                act_out, cnt_out):
-        depth = depth_ref[0]
-        v2 = jnp.where(front_ref[:] > 0, depth, v_ref[:])
-        fnew = jnp.where((hits_ref[:] > 0) & (v2 == 0), 1.0, 0.0)
-        v_out[:] = v2
-        front_out[:] = fnew
-        cnt_out[:] = jnp.sum(fnew, axis=0, keepdims=True)
-        for w in range(nwc):
-            act_out[w, :] = jnp.max(fnew[w * cwr: (w + 1) * cwr], axis=0)
+        i = pl.program_id(0)
+        riota = lax.broadcasted_iota(jnp.int32, (CH, 128), 0) + i * CH
+        valid = riota < R
+        if is_sssp:
+            vv = v_ref[:]
+            new_v = jnp.minimum(vv, hits_ref[:])
+            changed = (new_v < vv) & valid
+            v_out[:] = new_v
+            front_out[:] = jnp.where(changed, new_v, jnp.inf)
+            stat = changed.astype(jnp.float32)
+        else:
+            depth = depth_ref[0]
+            v2 = jnp.where(front_ref[:] > 0, depth, v_ref[:])
+            fnew = jnp.where((hits_ref[:] > 0) & (v2 == 0) & valid,
+                             1.0, 0.0)
+            v_out[:] = v2
+            front_out[:] = fnew
+            stat = fnew
+        for w in range(wpc):
+            act_out[w: w + 1] = jnp.sum(stat[w * cwr: (w + 1) * cwr],
+                                        axis=0, keepdims=True)
+        part = jnp.sum(stat, axis=0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _():
+            cnt_out[:] = part
+
+        @pl.when(i > 0)
+        def _():
+            cnt_out[:] = cnt_out[:] + part
 
     return kernel
 
 
-def bfs_level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d, depth):
-    """(v', front', act, count) for one BFS level, fused on-chip.
-    ``act`` is the per-window activity vector consumed by the next
-    level's :func:`fused_spmv2d_adaptive` call."""
+def _level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d, depth, kind):
     cwr = fmt.cw // 128
     nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
     nwc = nwr // cwr
     R = fmt.n_row_blocks * 128
+    if fmt.n_row_blocks <= BFS_UPDATE_MAX_RB:
+        CH, grid = R, 1
+    else:
+        CH = LEVEL_UPDATE_CHUNK
+        grid = (R + CH - 1) // CH
+    wpc = CH // cwr
+    v_dtype = jnp.float32 if kind == "sssp" else v2d.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # depth
-        grid=(1,),
+        num_scalar_prefetch=1,  # depth (unused for sssp)
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+            pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+            pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+            pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+            pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda c, d: (0, 0),
+            pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nwc, 128), lambda c, d: (0, 0),
+            pl.BlockSpec((wpc, 128), lambda i, d: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda c, d: (0, 0),
+            pl.BlockSpec((1, 128), lambda i, d: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     v2, fnew, act2d, cnt = pl.pallas_call(
-        _make_bfs_update_kernel(nwc, cwr),
+        _make_level_update_kernel(kind, nwc, cwr, CH, R),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((R, 128), v_dtype),
             jax.ShapeDtypeStruct((R, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nwc, 128), jnp.float32),
+            jax.ShapeDtypeStruct((grid * wpc, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_should_interpret(),
     )(jnp.reshape(depth, (1,)).astype(jnp.int32), hits2d, v2d, front2d)
-    act = jnp.any(act2d > 0, axis=1).astype(jnp.int32)
+    act = jnp.any(act2d[:nwc] > 0, axis=1).astype(jnp.int32)
     return v2, fnew, act, jnp.sum(cnt)
+
+
+def bfs_level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d, depth):
+    """(v', front', act, count) for one BFS level, fused on-chip.
+    ``act`` is the per-window activity vector consumed by the next
+    level's :func:`fused_spmv2d_adaptive` call."""
+    return _level_update(fmt, hits2d, v2d, front2d, depth, "bfs")
+
+
+def sssp_level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d):
+    """(v', fdb', act, changed-count) for one SSSP relaxation round:
+    min-merge + the reference's feedback semantics (changed entries
+    only), fused on-chip (``src/algorithm.cpp:158-229``)."""
+    return _level_update(fmt, hits2d, v2d, front2d, jnp.int32(0), "sssp")
 
 
 @partial(

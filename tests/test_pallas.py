@@ -762,3 +762,48 @@ def test_resident_multiword_activity_bitmask():
     finite = np.isfinite(ref)
     assert np.all(lev[finite] == ref[finite] + 1)
     assert np.all(lev[~finite] == 0)
+
+
+def test_streaming_level_update_vs_oracle(monkeypatch):
+    # force the chunked/streaming level-update grid variant (normally
+    # only for > BFS_UPDATE_MAX_RB row blocks, i.e. > 4.2M vertices) on
+    # a small graph: multi-step count accumulation + row masking
+    from spla_tpu.pallas import spmv as SP
+    from spla_tpu.algorithms import _bfs_kernel_pallas, _sssp_kernel_pallas
+
+    if SP.get_cell_format is None or __import__(
+            "spla_tpu.pallas.cellpack_native",
+            fromlist=["_native_lib"])._native_lib() is None:
+        pytest.skip("no native toolchain")
+    monkeypatch.setattr(SP, "RESIDENT_VMEM", 0)  # defeat resident gate
+    monkeypatch.setattr(SP, "BFS_UPDATE_MAX_RB", 0)
+    monkeypatch.setattr(SP, "LEVEL_UPDATE_CHUNK", 128)
+
+    import scipy.sparse.csgraph as cg
+
+    rng = np.random.default_rng(31)
+    n = 21000  # R = 256 rows -> 2 streaming chunks of 128
+    r = rng.integers(0, n, 32000).astype(np.int32)
+    c = rng.integers(0, n, 32000).astype(np.int32)
+    keep = r != c
+    a = sp.coo_matrix((rng.uniform(0.1, 2.0, int(keep.sum())).astype(
+        np.float32), (r[keep], c[keep])), shape=(n, n))
+    a = a.maximum(a.T).tocsr()
+    a.sum_duplicates()
+    coo = a.tocoo()
+    fmt_p = SP.build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        np.ones(coo.nnz, np.float32), cw=1024, pattern=True)
+    lev = np.asarray(_bfs_kernel_pallas(fmt_p, jnp.int32(3)))
+    ref = cg.shortest_path(a, method="D", unweighted=True, indices=3)
+    finite = np.isfinite(ref)
+    assert np.all(lev[finite] == ref[finite] + 1)
+    assert np.all(lev[~finite] == 0)
+
+    fmt_w = SP.build_fused_cell_spmv_arrays(
+        n, n, coo.row.astype(np.int32), coo.col.astype(np.int32),
+        coo.data, cw=1024)
+    dist = np.asarray(_sssp_kernel_pallas(fmt_w, jnp.int32(3)))
+    refd = cg.dijkstra(a, indices=3)
+    np.testing.assert_allclose(dist[finite], refd[finite], rtol=1e-5)
+    assert np.all(np.isinf(dist[~finite]))
