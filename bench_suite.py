@@ -167,6 +167,58 @@ def main():
          nnz=int(Ard.nnz), levels=int(lv.max()), ms=round(dtr * 1e3, 1),
          device=dev)
 
+    # ---- road_central-scale BFS (streaming level updates: too big for
+    # the resident kernel AND for the single-block fused update) ----
+    if not args.small:
+        side_b = 3 << 10  # 9.4M vertices, 37.7M directed edges
+        nrb_ = side_b * side_b
+        xsb, ysb = np.meshgrid(np.arange(side_b, dtype=np.int64),
+                               np.arange(side_b, dtype=np.int64),
+                               indexing="ij")
+
+        def morton_b(x, y):
+            def spread(v):
+                v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+                v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+                v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+                v = (v | (v << 2)) & 0x3333333333333333
+                v = (v | (v << 1)) & 0x5555555555555555
+                return v
+            return spread(x) | (spread(y) << 1)
+
+        rows_b, cols_b = [], []
+        for dx, dy in ((1, 0), (0, 1)):
+            x2 = xsb[: side_b - dx, : side_b - dy]
+            y2 = ysb[: side_b - dx, : side_b - dy]
+            a_ = morton_b(x2.ravel(), y2.ravel())
+            b_ = morton_b((x2 + dx).ravel(), (y2 + dy).ravel())
+            rows_b += [a_, b_]
+            cols_b += [b_, a_]
+        rrb = np.concatenate(rows_b)
+        ccb = np.concatenate(cols_b)
+        # morton codes of a 3072-side grid are sparse in [0, 4096^2); use
+        # the rank order to compact ids into [0, n)
+        uniq = np.unique(rrb)
+        rrb = np.searchsorted(uniq, rrb).astype(np.int32)
+        ccb = np.searchsorted(uniq, ccb).astype(np.int32)
+        Abig = sp.csr_matrix(
+            (np.ones(rrb.size, np.float32), (rrb, ccb)), shape=(nrb_, nrb_))
+        Abc = F.csr_from_scipy(Abig)
+        levb = alg.bfs(Abc, 0)
+        lvb = np.asarray(levb.values)
+        dtb = float("inf")
+        for _ in range(2):
+            src = jnp.asarray(0, jnp.int32)
+            t0 = time.perf_counter()
+            for k in range(2):
+                levb = alg.bfs(Abc, src)
+                src = (jnp.min(levb.values) * 0 + k + 1).astype(jnp.int32)
+            np.asarray(src)
+            dtb = min(dtb, (time.perf_counter() - t0) / 2)
+        emit("road_big_bfs_gteps", Abig.nnz / dtb / 1e9, "GTEPS", n=nrb_,
+             nnz=int(Abig.nnz), levels=int(lvb.max()),
+             ms=round(dtb * 1e3, 1), device=dev)
+
     # ---- road-class SSSP (resident whole-traversal kernel when the
     # valued pair format fits VMEM; ~2*side relaxation rounds) ----
     side_s = 1 << (7 if args.small else 9)
