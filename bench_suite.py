@@ -315,8 +315,12 @@ def main():
         @jax.jit
         def scan_chain(x0):
             def body(k, x):
-                # unique per-iteration perturbation defeats memoization
-                return prefix_sum(x * (1.0 + k * 1e-7))
+                # scan the ORIGINAL input each lap (re-scanning the ramp
+                # overflows f32 by lap 3 / decays to denormals when
+                # rescaled); the dependence on the previous tail + the
+                # per-lap k serialize the laps and defeat memoization
+                return prefix_sum(
+                    x0 * (1.0 + x[np_ - 1] * 1e-9 + k * 1e-9))
             return jax.lax.fori_loop(0, 50, body, x0)
 
         float(np.asarray(jnp.sum(scan_chain(xs))))  # warm-up

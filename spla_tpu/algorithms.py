@@ -362,7 +362,7 @@ def _sssp_kernel_pallas(fmt, source, front_factor=jnp.float32(0.1)):
             # min-merge + feedback + next-level window activity + count,
             # fused on-chip (resident or streaming by graph size)
             new_v, fdb_new, act, changed = sssp_level_update(
-                fmt, frontier, v, fdb)
+                fmt, frontier, v)
             return (new_v, fdb_new, act, changed)
 
         v, _, _, _ = lax.while_loop(

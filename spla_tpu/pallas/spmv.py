@@ -1119,6 +1119,8 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
 # for hardware A/B: bigger K amortizes the ~190 ns fixed per-grid-step
 # cost against more window-pad tiles)
 FUSED_K = int(os.environ.get("SPLA_FUSED_K", "32"))
+assert FUSED_K >= 8 and (FUSED_K & (FUSED_K - 1)) == 0, \
+    f"SPLA_FUSED_K must be a power of two >= 8 (layout divisibility), got {FUSED_K}"
 FUSED_MAX_RB = 1024  # resident output cap: 1024 row blocks = 64 MB VMEM
 
 
@@ -1168,7 +1170,11 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     while its extra gathers/selects cost ~8 ns/tile (64.1 vs 55.8)."""
     from .cellpack_native import native_pack
 
-    assert cw % 1024 == 0 and 1024 <= cw <= 16384, cw
+    # power of two required here (unlike the older formats): the fused
+    # window-activity machinery (ow bitmasks, level-update chunking,
+    # resident gating) assumes cwr = cw/128 divides 128 and the
+    # 2048-row update chunk
+    assert cw & (cw - 1) == 0 and 1024 <= cw <= 16384, cw
     n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
     if n_rb > FUSED_MAX_RB:
         return None
@@ -1765,6 +1771,10 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
         sh8 = (siota % 4) * 8
         sh4 = siota * 4
 
+        # NOTE: half_psort + the S-table scatter below mirror
+        # _make_pair_body (the streaming kernels' pair evaluation) with
+        # the ops specialized for residency; a layout/encoding fix there
+        # must be applied here too
         def half_psort(fp, xwin, voff, woff, ioff):
             w_words = fp[woff:woff + 2]
             wrep = jnp.concatenate(
@@ -1869,7 +1879,6 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
 
             def update_window(w):
                 lo = w * cwr
-                fr = front_ref[lo: lo + cwr]
                 hz = hits_ref[lo: lo + cwr]
                 if is_sssp:
                     vv = v_out[lo: lo + cwr]
@@ -1881,6 +1890,7 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
                     st = jnp.sum(changed.astype(jnp.float32), axis=0,
                                  keepdims=True)
                 else:
+                    fr = front_ref[lo: lo + cwr]
                     vv = v_out[lo: lo + cwr]
                     v2 = jnp.where(fr > 0, it, vv)
                     fnew = jnp.where((hz > 0) & (v2 == 0), 1.0, 0.0)
@@ -1917,6 +1927,11 @@ def _resident_call(fmt: FusedCellSpmv, source, kind):
     R = fmt.n_row_blocks * 128
     state_bytes = 3 * R * 128 * 4
     if fmt.fused.nbytes + state_bytes > RESIDENT_VMEM:
+        return None
+    if R // (fmt.cw // 128) > RESIDENT_GATED_MAX_WINDOWS:
+        # the kernel unrolls per-window blocks; a small-cw format on a
+        # multi-million-vertex graph could pass the VMEM gate with
+        # thousands of windows and explode Mosaic compile time
         return None
     cwr = fmt.cw // 128
     nb = fmt.n_tiles // FUSED_K
@@ -1989,8 +2004,14 @@ def _make_level_update_kernel(kind, nwc, cwr, CH, R):
     is_sssp = kind == "sssp"
     wpc = CH // cwr  # windows per chunk
 
-    def kernel(depth_ref, hits_ref, v_ref, front_ref, v_out, front_out,
-               act_out, cnt_out):
+    # the sssp update never reads the previous frontier (feedback is
+    # derived from the min-merge), so its kernel takes one fewer input —
+    # one less (R,128) HBM stream per relaxation round
+    def kernel(depth_ref, hits_ref, v_ref, *refs):
+        if is_sssp:
+            v_out, front_out, act_out, cnt_out = refs
+        else:
+            front_ref, v_out, front_out, act_out, cnt_out = refs
         i = pl.program_id(0)
         riota = lax.broadcasted_iota(jnp.int32, (CH, 128), 0) + i * CH
         valid = riota < R
@@ -2037,16 +2058,14 @@ def _level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d, depth, kind):
         grid = (R + CH - 1) // CH
     wpc = CH // cwr
     v_dtype = jnp.float32 if kind == "sssp" else v2d.dtype
+    n_in = 2 if kind == "sssp" else 3  # sssp never reads the frontier
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # depth (unused for sssp)
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_in)
         ],
         out_specs=[
             pl.BlockSpec((CH, 128), lambda i, d: (i, 0),
@@ -2071,7 +2090,8 @@ def _level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d, depth, kind):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_should_interpret(),
-    )(jnp.reshape(depth, (1,)).astype(jnp.int32), hits2d, v2d, front2d)
+    )(jnp.reshape(depth, (1,)).astype(jnp.int32), hits2d, v2d,
+      *(() if kind == "sssp" else (front2d,)))
     act = jnp.any(act2d[:nwc] > 0, axis=1).astype(jnp.int32)
     return v2, fnew, act, jnp.sum(cnt)
 
@@ -2083,11 +2103,13 @@ def bfs_level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d, depth):
     return _level_update(fmt, hits2d, v2d, front2d, depth, "bfs")
 
 
-def sssp_level_update(fmt: FusedCellSpmv, hits2d, v2d, front2d):
+def sssp_level_update(fmt: FusedCellSpmv, hits2d, v2d):
     """(v', fdb', act, changed-count) for one SSSP relaxation round:
     min-merge + the reference's feedback semantics (changed entries
-    only), fused on-chip (``src/algorithm.cpp:158-229``)."""
-    return _level_update(fmt, hits2d, v2d, front2d, jnp.int32(0), "sssp")
+    only), fused on-chip (``src/algorithm.cpp:158-229``).  The previous
+    feedback vector is not an input — it is fully determined by the
+    min-merge."""
+    return _level_update(fmt, hits2d, v2d, None, jnp.int32(0), "sssp")
 
 
 @partial(
