@@ -40,10 +40,67 @@ def random_graph(n, deg, seed=0):
     return A
 
 
+def bench_big_spmv():
+    """HBM-scale chained SpMV: 8.4M vertices / 134M edges (the reference's
+    rgg_n_2_23 class; its README claims 1-billion-edge capability on 8 GB —
+    this entry demonstrates the same HBM-limited regime on one chip: the
+    packed format alone is ~3 GB).  Same methodology as bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_graph
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays,
+        fused_cell_spmv_apply,
+    )
+
+    n, deg = 1 << 23, 16
+    indptr, rows, cols, vals = build_graph(n, deg)
+    del indptr
+    nnz = vals.size
+    t0 = time.perf_counter()
+    fmt = build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
+    build_s = time.perf_counter() - t0
+    assert fmt is not None, "big graph must fit the fused format"
+    x = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
+
+    def _mult(av, xv):
+        return av * xv
+
+    @jax.jit
+    def step(fmt, y, k):
+        o = fused_cell_spmv_apply(fmt, y, op_mul=_mult, op_add=jnp.add,
+                                  identity=0.0)
+        return o * ((1.0 + k * 1e-6) / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
+
+    y = step(fmt, x, jnp.float32(0))
+    np.asarray(jnp.sum(jnp.abs(y)))  # warm-up
+    iters = 30
+    best = float("inf")
+    for _ in range(2):
+        y = x
+        t0 = time.perf_counter()
+        for k in range(iters):
+            y = step(fmt, y, jnp.float32(k % 97))
+        np.asarray(jnp.sum(jnp.abs(y)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    bytes_model = nnz * 12 + n * 8 + 4
+    emit("big_spmv_gbps", bytes_model / best / 1e9, "GB/s", n=n,
+         nnz=int(nnz), ms=round(best * 1e3, 2),
+         padding=round(fmt.slots / fmt.nnz, 3),
+         preprocess_s=round(build_s, 1),
+         device=jax.devices()[0].platform)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny shapes (CI)")
+    ap.add_argument("--big", action="store_true",
+                    help="HBM-scale SpMV entry only (134M edges)")
     args = ap.parse_args()
+    if args.big:
+        bench_big_spmv()
+        return
 
     import jax
     import jax.numpy as jnp
