@@ -83,6 +83,31 @@ def test_mxmT_reduce_hw():
     assert abs(r - ref) < 0.5
 
 
+def test_streaming_level_update_hw(monkeypatch):
+    # compiled (not interpreted) run of the chunked level-update grid
+    # variant that big graphs (> BFS_UPDATE_MAX_RB row blocks) take;
+    # forced on a small graph exactly like the CPU oracle test
+    # (tests/test_pallas.py::test_streaming_level_update_vs_oracle)
+    from spla_tpu.pallas import spmv as SP
+    from spla_tpu.algorithms import _bfs_kernel_pallas
+
+    monkeypatch.setattr(SP, "RESIDENT_VMEM", 0)
+    monkeypatch.setattr(SP, "BFS_UPDATE_MAX_RB", 0)
+    monkeypatch.setattr(SP, "LEVEL_UPDATE_CHUNK", 128)
+    A = _graph(n=21000, deg=3, seed=5)
+    coo = A.tocoo()
+    fmt = SP.build_fused_cell_spmv_arrays(
+        A.shape[0], A.shape[1], coo.row.astype(np.int32),
+        coo.col.astype(np.int32), np.ones(coo.nnz, np.float32),
+        cw=1024, pattern=True)
+    lev = np.asarray(_bfs_kernel_pallas(fmt, jnp.int32(3)))
+    import scipy.sparse.csgraph as cg
+    ref = cg.shortest_path(A, method="D", unweighted=True, indices=3)
+    finite = np.isfinite(ref)
+    assert np.all(lev[finite] == ref[finite] + 1)
+    assert np.all(lev[~finite] == 0)
+
+
 def test_bfs_sssp_hw():
     from spla_tpu import algorithms as alg
     from spla_tpu import formats as F
