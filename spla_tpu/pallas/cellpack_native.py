@@ -82,11 +82,17 @@ def _cache_dir():
     return d
 
 
+# bump when the PACKING POLICY changes (same layout, different slot
+# assignment): stale cached packs are valid but slower
+_PACK_VERSION = 2
+
+
 def _cache_key(m, n, cw, rows, cols, vals, mode, batch=1):
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(np.asarray([m, n, cw, mode, batch], np.int64).tobytes())
+    h.update(np.asarray([m, n, cw, mode, batch, _PACK_VERSION],
+                        np.int64).tobytes())
     h.update(rows.tobytes())
     h.update(cols.tobytes())
     h.update(vals.tobytes())

@@ -683,6 +683,56 @@ def test_fused_pair_layouts_match_flat():
     np.testing.assert_array_equal(h4 > 0, ref2 > 0)
 
 
+def test_pair_pack_invariants_roundtrip():
+    # unpack the PAIR layout word-by-word and recover the exact COO
+    # multiset — pins the packer's bit surgery (including the depth-1
+    # repair relocations: erase + re-emit must leave no stale words)
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_fused_cell_spmv_arrays
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    m, n, nnz = 2100, 1900, 24000
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    # force duplicate (row, col) coordinates: exercises the per-pair
+    # (g, l) claim and the repair's claim transfers
+    rows[:300] = rows[300:600]
+    cols[:300] = cols[300:600]
+    vals = rng.random(nnz, dtype=np.float32) + 0.5
+    cw = 1024
+    fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw,
+                                       paired=True)
+    assert fmt.layout == 4
+    f = np.asarray(fmt.fused)  # [pairs, 40, 128] int32
+    rb = np.asarray(fmt.rb_of_tile)
+    wb = np.asarray(fmt.wb_of_batch)
+    from spla_tpu.pallas.spmv import FUSED_K
+    got = []
+    for pid in range(f.shape[0]):
+        blk = f[pid]
+        w_of = wb[(2 * pid) // FUSED_K]
+        for g in range(128):
+            sw = blk[24 + (g >> 3)]
+            code = (sw >> (4 * (g & 7))) & 0xF
+            for l in np.nonzero(code != 0xF)[0]:
+                c = int(code[l])
+                h, sub = c >> 3, c & 7
+                ho = h * 12
+                lane = (blk[ho + 10 + (sub >> 2), l] >> (8 * (sub & 3))) & 0xFF
+                wbyte = (blk[ho + 8 + (sub >> 2), lane] >> (8 * (sub & 3))) & 0xFF
+                assert wbyte & 0x80, "stab points at an invalid slot"
+                col = int(w_of) * cw + (wbyte & 0x7F) * 128 + int(lane)
+                row = int(rb[2 * pid + h]) * 16384 + g * 128 + int(l)
+                val = np.int32(blk[ho + sub, lane]).view(np.float32)
+                got.append((row, col, float(val)))
+    assert len(got) == nnz
+    want = sorted(zip(rows.tolist(), cols.tolist(),
+                      [float(v) for v in vals]))
+    assert sorted(got) == want
+
+
 def test_resident_traversal_kernels_vs_oracle():
     # the fully-resident whole-traversal kernels (BFS pattern pairs,
     # SSSP value pairs) must trigger for VMEM-sized graphs and match
