@@ -104,9 +104,15 @@ static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                             const int32_t* rows, const int32_t* cols,
                             const float* vals, int64_t batch);
 
+static void* cellpack_mode6(int64_t nnz, int64_t m, int64_t n, int64_t cw,
+                            const int32_t* rows, const int32_t* cols,
+                            const float* vals, int64_t batch);
+
 void* cellpack_run2(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                     const int32_t* rows, const int32_t* cols,
                     const float* vals, int32_t mode, int64_t batch) {
+    if (mode == 6)
+        return cellpack_mode6(nnz, m, n, cw, rows, cols, vals, batch);
     if (mode == 5)
         return cellpack_mode5(nnz, m, n, cw, rows, cols, vals, batch);
     if (mode == 3 || mode == 4)
@@ -710,6 +716,377 @@ static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         }
     }
     out->n_tiles = p_next * 2;
+    return out;
+}
+
+// mode 6: OCT-shared S-table.  Eight tiles share ONE 6-bit S-table:
+// code (0..63) for output cell (g, l) = tile * 8 + sublane; code 63 =
+// tile-7 sublane-7, which never holds entries, so the init value reads
+// identity (same trick as mode 5's half-B sublane 7).  The 6-bit code is
+// stored as a nibble table (low 4 bits, rows 96..111) plus two bit
+// planes (bit 4 rows 112..115, bit 5 rows 116..119; bit g % 32 of word
+// [base + g/32][l]).  Oct block = 120 int32 rows = exactly 15 physical
+// (8,128) vreg tiles, so DMA stays aligned; 15 rows streamed per tile
+// vs mode 5's 20 (-25%).  The real win is CAPACITY POOLING: the per-
+// (oct, output-l) cap is 63 slots and up to eight cells (each tile keeps
+// its own rb) share one oct, so low-degree graphs whose per-cell l-class
+// Poisson max quantized a whole pair (pad 4+ on deg-16 at 8M rows) pool
+// into ~2x fewer slots.
+//
+// Oct block rows [120][128] int32 (tile t = 0..7):
+//   t*12 .. t*12+7  : f32 values     | t*12+8..+9 : w-bytes
+//   t*12+10 .. +11  : invl bytes
+//   96..111 : S-table nibbles | 112..115 : bit-4 plane | 116..119 : bit-5
+static void* cellpack_mode6(int64_t nnz, int64_t m, int64_t n, int64_t cw,
+                            const int32_t* rows, const int32_t* cols,
+                            const float* vals, int64_t batch) {
+    const int64_t PFR = 120;  // rows per oct block
+    const int QF = 8;         // tiles (halves) per oct
+    const int64_t n_rb_ = (m + ROW_BLOCK - 1) / ROW_BLOCK;
+    const int64_t n_rb = n_rb_ > 0 ? n_rb_ : 1;
+    const int64_t nwc_ = (n + cw - 1) / cw;
+    const int64_t nwc = nwc_ > 0 ? nwc_ : 1;
+    const int64_t n_cells = n_rb * nwc;
+    if (batch < QF) batch = QF;
+
+    Pack* out = new (std::nothrow) Pack();
+    if (!out) return nullptr;
+
+    // pass 1: counting sort by cell (row-block-major ids, window-major walk)
+    std::vector<int64_t> cell_count(n_cells + 1, 0);
+    for (int64_t i = 0; i < nnz; ++i) {
+        const int64_t cell =
+            (int64_t)(rows[i] >> 14) * nwc + (int64_t)cols[i] / cw;
+        ++cell_count[cell + 1];
+    }
+    for (int64_t c = 0; c < n_cells; ++c) cell_count[c + 1] += cell_count[c];
+    std::vector<int64_t> order(nnz);
+    {
+        std::vector<int64_t> cur(cell_count.begin(), cell_count.end() - 1);
+        for (int64_t i = 0; i < nnz; ++i) {
+            const int64_t cell =
+                (int64_t)(rows[i] >> 14) * nwc + (int64_t)cols[i] / cw;
+            order[cur[cell]++] = i;
+        }
+    }
+
+    int64_t alloc = 0;  // in OCTS
+    auto grow = [&](int64_t need_octs) -> bool {
+        if (need_octs <= alloc && out->fused) return true;
+        int64_t na = alloc ? alloc : 1024;
+        while (na < need_octs) na *= 2;
+        void* v;
+        v = std::realloc(out->fused, na * PFR * 128 * sizeof(int32_t));
+        if (!v) return false; out->fused = (int32_t*)v;
+        v = std::realloc(out->rb, na * QF * sizeof(int32_t));
+        if (!v) return false; out->rb = (int32_t*)v;
+        v = std::realloc(out->wb, na * QF * sizeof(int32_t));
+        if (!v) return false; out->wb = (int32_t*)v;
+        alloc = na;
+        return true;
+    };
+
+    struct Half {
+        int64_t rb = -1;  // -1 = unopened
+        uint8_t slot_taken[8][128];
+        uint8_t l_used[8][128];
+        int32_t occ_slot[8][128];  // by (sublane, slot lane b)
+        int32_t occ_l[8][128];     // by (sublane, output l)
+    };
+    struct OpenOct {
+        int64_t gid;  // global oct index (also the claim stamp)
+        Half h[8];
+    };
+    OpenOct octs[PROBE_TILES];
+    // shared one-entry-per-output-cell claim, stamped by oct gid
+    std::vector<int64_t> claim((size_t)PROBE_TILES * ROW_BLOCK, -1);
+
+    int64_t p_next = 0;  // octs emitted
+    auto init_oct_words = [&](int64_t pid, int64_t w) {
+        int32_t* f = out->fused + pid * PFR * 128;
+        for (int t = 0; t < QF; ++t) {
+            std::memset(f + (t * 12) * 128, 0, (size_t)10 * 128 * 4);
+            std::memset(f + (t * 12 + 10) * 128, 0xFF, (size_t)2 * 128 * 4);
+            out->rb[pid * QF + t] = 0;
+            out->wb[pid * QF + t] = (int32_t)w;
+        }
+        // nibbles + both planes all-ones: every position reads code 63
+        std::memset(f + 96 * 128, 0xFF, (size_t)24 * 128 * 4);
+    };
+    auto open_oct = [&](int slot, int64_t w) -> bool {
+        if (!grow(p_next + 1)) return false;
+        OpenOct& p = octs[slot];
+        p.gid = p_next++;
+        for (int t = 0; t < QF; ++t) p.h[t].rb = -1;
+        init_oct_words(p.gid, w);
+        return true;
+    };
+
+    std::vector<std::pair<int32_t, int64_t>> deal;
+    int32_t l_counter[128], b_counter[128];
+
+    // entry word surgery, kept consistent with the occupancy structures
+    auto emit_entry = [&](OpenOct& p, int h, int sub, int64_t e) {
+        Half& hf = p.h[h];
+        const int32_t col = cols[e];
+        const int32_t w7 = (int32_t)((col % cw) >> 7);
+        const int32_t b = col & 127;
+        const int32_t local = rows[e] & (ROW_BLOCK - 1);
+        const int32_t g = local >> 7, l = local & 127;
+        hf.slot_taken[sub][b] = 1;
+        hf.l_used[sub][l] = 1;
+        hf.occ_slot[sub][b] = (int32_t)e;
+        hf.occ_l[sub][l] = (int32_t)e;
+        int32_t* f = out->fused + p.gid * PFR * 128;
+        const int ho = h * 12;
+        int32_t vbits;
+        std::memcpy(&vbits, &vals[e], 4);
+        f[(ho + sub) * 128 + b] = vbits;
+        const int sh8 = 8 * (sub & 3);
+        int32_t* ww = f + (ho + 8 + (sub >> 2)) * 128 + b;
+        *ww = (*ww & ~(0xFF << sh8)) | ((w7 | 0x80) << sh8);
+        int32_t* iw = f + (ho + 10 + (sub >> 2)) * 128 + l;
+        *iw = (*iw & ~(0xFF << sh8)) | (b << sh8);
+        const int code = h * 8 + sub;
+        const int sh4 = 4 * (g & 7);
+        int32_t* sw = f + (96 + (g >> 3)) * 128 + l;
+        *sw = (*sw & ~(0xF << sh4)) | ((code & 0xF) << sh4);
+        const int shg = g & 31;
+        int32_t* p4 = f + (112 + (g >> 5)) * 128 + l;
+        *p4 = (*p4 & ~(1 << shg)) | (((code >> 4) & 1) << shg);
+        int32_t* p5 = f + (116 + (g >> 5)) * 128 + l;
+        *p5 = (*p5 & ~(1 << shg)) | (((code >> 5) & 1) << shg);
+    };
+    auto erase_entry = [&](OpenOct& p, int h, int sub, int64_t e) {
+        Half& hf = p.h[h];
+        const int32_t b = cols[e] & 127;
+        const int32_t local = rows[e] & (ROW_BLOCK - 1);
+        const int32_t g = local >> 7, l = local & 127;
+        hf.slot_taken[sub][b] = 0;
+        hf.l_used[sub][l] = 0;
+        hf.occ_slot[sub][b] = -1;
+        hf.occ_l[sub][l] = -1;
+        int32_t* f = out->fused + p.gid * PFR * 128;
+        const int ho = h * 12;
+        f[(ho + sub) * 128 + b] = 0;
+        const int sh8 = 8 * (sub & 3);
+        int32_t* ww = f + (ho + 8 + (sub >> 2)) * 128 + b;
+        *ww &= ~(0xFF << sh8);  // valid bit clear
+        int32_t* iw = f + (ho + 10 + (sub >> 2)) * 128 + l;
+        *iw |= 0xFF << sh8;  // back to sentinel (resolved at the end)
+        const int sh4 = 4 * (g & 7);
+        int32_t* sw = f + (96 + (g >> 3)) * 128 + l;
+        *sw |= 0xF << sh4;  // back to code 63 (absent)
+        const int shg = g & 31;
+        f[(112 + (g >> 5)) * 128 + l] |= 1 << shg;
+        f[(116 + (g >> 5)) * 128 + l] |= 1 << shg;
+    };
+
+    for (int64_t w = 0; w < nwc; ++w) {
+        int n_open = 0, newest = -1;  // octs close at window boundaries
+        for (int64_t rbi = 0; rbi < n_rb; ++rbi) {
+            const int64_t cell = rbi * nwc + w;
+            const int64_t lo = cell_count[cell], hi = cell_count[cell + 1];
+            if (lo == hi) continue;
+            if (hi - lo > 1) {
+                std::memset(l_counter, 0, sizeof(l_counter));
+                std::memset(b_counter, 0, sizeof(b_counter));
+                deal.clear();
+                deal.reserve(hi - lo);
+                for (int64_t q = lo; q < hi; ++q) {
+                    const int64_t e = order[q];
+                    const int l = rows[e] & 127;
+                    const int b = cols[e] & 127;
+                    const int32_t key = std::max(l_counter[l]++, b_counter[b]++);
+                    deal.emplace_back(key, e);
+                }
+                std::stable_sort(deal.begin(), deal.end(),
+                                 [](const auto& a, const auto& b) {
+                                     return a.first < b.first;
+                                 });
+                for (int64_t q = lo; q < hi; ++q)
+                    order[q] = deal[q - lo].second;
+            }
+            for (int64_t q = lo; q < hi; ++q) {
+                const int64_t e = order[q];
+                const int32_t col = cols[e];
+                const int32_t row = rows[e];
+                const int32_t b = col & 127;
+                const int32_t local = row & (ROW_BLOCK - 1);
+                const int32_t l = local & 127;
+
+                int pk_slot = -1, pk_half = -1, pk_sub = -1;
+                // phase 0: opened halves with matching rb (newest-first);
+                // rb screens run BEFORE the claim-table load
+                for (int k = 0; k < n_open && pk_slot < 0; ++k) {
+                    const int sk = (newest - k + PROBE_TILES) % PROBE_TILES;
+                    OpenOct& p = octs[sk];
+                    bool any = false;
+                    for (int h = 0; h < QF; ++h)
+                        if (p.h[h].rb == rbi) { any = true; break; }
+                    if (!any) continue;
+                    if (claim[(size_t)sk * ROW_BLOCK + local] == p.gid)
+                        continue;
+                    for (int h = 0; h < QF && pk_slot < 0; ++h) {
+                        if (p.h[h].rb != rbi) continue;
+                        Half& hf = p.h[h];
+                        const int smax = (h == QF - 1) ? 7 : 8;
+                        for (int sb = 0; sb < smax; ++sb) {
+                            if (!hf.slot_taken[sb][b] && !hf.l_used[sb][l]) {
+                                pk_slot = sk;
+                                pk_half = h;
+                                pk_sub = sb;
+                                break;
+                            }
+                        }
+                    }
+                }
+                // repair phase (depth-1 alternating path), as in mode 5
+                auto relocate = [&](int sk_src, OpenOct& p, int h, int sb,
+                                    int32_t e2) -> bool {
+                    const int32_t local2 = rows[e2] & (ROW_BLOCK - 1);
+                    const int32_t l2 = local2 & 127;
+                    const int32_t b2 = cols[e2] & 127;
+                    Half& hf = p.h[h];
+                    for (int k2 = 0; k2 < n_open; ++k2) {
+                        const int sk2 =
+                            (newest - k2 + PROBE_TILES) % PROBE_TILES;
+                        OpenOct& p2 = octs[sk2];
+                        bool any = false;
+                        for (int h2 = 0; h2 < QF; ++h2)
+                            if (p2.h[h2].rb == rbi) { any = true; break; }
+                        if (!any) continue;
+                        if (sk2 != sk_src &&
+                            claim[(size_t)sk2 * ROW_BLOCK + local2] == p2.gid)
+                            continue;
+                        for (int h2 = 0; h2 < QF; ++h2) {
+                            if (p2.h[h2].rb != rbi) continue;
+                            Half& hf2 = p2.h[h2];
+                            if (&hf2 == &hf) continue;
+                            const int smax2 = (h2 == QF - 1) ? 7 : 8;
+                            for (int sb2 = 0; sb2 < smax2; ++sb2) {
+                                if (hf2.slot_taken[sb2][b2] ||
+                                    hf2.l_used[sb2][l2])
+                                    continue;
+                                erase_entry(p, h, sb, e2);
+                                emit_entry(p2, h2, sb2, e2);
+                                if (sk2 != sk_src)
+                                    claim[(size_t)sk2 * ROW_BLOCK + local2] =
+                                        p2.gid;
+                                return true;
+                            }
+                        }
+                    }
+                    return false;
+                };
+                for (int k = 0; k < n_open && pk_slot < 0; ++k) {
+                    const int sk = (newest - k + PROBE_TILES) % PROBE_TILES;
+                    OpenOct& p = octs[sk];
+                    bool any = false;
+                    for (int h = 0; h < QF; ++h)
+                        if (p.h[h].rb == rbi) { any = true; break; }
+                    if (!any) continue;
+                    if (claim[(size_t)sk * ROW_BLOCK + local] == p.gid)
+                        continue;
+                    for (int h = 0; h < QF && pk_slot < 0; ++h) {
+                        if (p.h[h].rb != rbi) continue;
+                        Half& hf = p.h[h];
+                        const int smax = (h == QF - 1) ? 7 : 8;
+                        for (int sb = 0; sb < smax && pk_slot < 0; ++sb) {
+                            const int32_t ea =
+                                hf.l_used[sb][l] ? hf.occ_l[sb][l]
+                                                 : (int32_t)-1;
+                            const int32_t eb =
+                                hf.slot_taken[sb][b] ? hf.occ_slot[sb][b]
+                                                     : (int32_t)-1;
+                            if (ea < 0 && eb < 0) continue;  // phase-0 spot
+                            if (hf.l_used[sb][l] && ea < 0) continue;
+                            if (hf.slot_taken[sb][b] && eb < 0) continue;
+                            if (ea >= 0 && !relocate(sk, p, h, sb, ea))
+                                continue;
+                            if (eb >= 0 && eb != ea &&
+                                !relocate(sk, p, h, sb, eb))
+                                continue;
+                            pk_slot = sk;
+                            pk_half = h;
+                            pk_sub = sb;
+                        }
+                    }
+                }
+                // phase 2: claim an unopened half of an existing oct
+                for (int k = 0; k < n_open && pk_slot < 0; ++k) {
+                    const int sk = (newest - k + PROBE_TILES) % PROBE_TILES;
+                    OpenOct& p = octs[sk];
+                    int free_h = -1;
+                    for (int h = 0; h < QF; ++h)
+                        if (p.h[h].rb < 0) { free_h = h; break; }
+                    if (free_h < 0) continue;
+                    if (claim[(size_t)sk * ROW_BLOCK + local] == p.gid)
+                        continue;
+                    pk_slot = sk;
+                    pk_half = free_h;
+                    pk_sub = 0;
+                }
+                if (pk_slot < 0) {
+                    newest = (newest + 1) % PROBE_TILES;
+                    if (n_open < PROBE_TILES) ++n_open;
+                    if (!open_oct(newest, w)) { delete out; return nullptr; }
+                    pk_slot = newest;
+                    pk_half = 0;
+                    pk_sub = 0;
+                }
+                OpenOct& p = octs[pk_slot];
+                Half& hf = p.h[pk_half];
+                if (hf.rb < 0) {
+                    hf.rb = rbi;
+                    std::memset(hf.slot_taken, 0, sizeof(hf.slot_taken));
+                    std::memset(hf.l_used, 0, sizeof(hf.l_used));
+                    std::memset(hf.occ_slot, 0xFF, sizeof(hf.occ_slot));
+                    std::memset(hf.occ_l, 0xFF, sizeof(hf.occ_l));
+                    out->rb[p.gid * QF + pk_half] = (int32_t)rbi;
+                }
+                claim[(size_t)pk_slot * ROW_BLOCK + local] = p.gid;
+                emit_entry(p, pk_half, pk_sub, e);
+            }
+        }
+        // pad this window's tile count to a multiple of `batch`
+        while ((p_next * QF) % batch) {
+            if (!grow(p_next + 1)) { delete out; return nullptr; }
+            init_oct_words(p_next, w);
+            ++p_next;
+        }
+    }
+    if (p_next == 0) {  // fully empty matrix: one all-invalid batch
+        for (int64_t j = 0; j < batch / QF; ++j) {
+            if (!grow(p_next + 1)) { delete out; return nullptr; }
+            init_oct_words(p_next, 0);
+            ++p_next;
+        }
+    }
+
+    // resolve invl sentinels per half (absent output-l positions point at
+    // a lane whose slot in that sublane row is INVALID)
+    for (int64_t pid = 0; pid < p_next; ++pid) {
+        int32_t* f = out->fused + pid * PFR * 128;
+        for (int h = 0; h < QF; ++h) {
+            const int ho = h * 12;
+            for (int s = 0; s < 8; ++s) {
+                const int sh8 = 8 * (s & 3);
+                const int32_t* ww = f + (ho + 8 + (s >> 2)) * 128;
+                int fallback = -1;
+                for (int lane = 0; lane < 128; ++lane) {
+                    if (!((ww[lane] >> sh8) & 0x80)) { fallback = lane; break; }
+                }
+                if (fallback < 0) continue;
+                int32_t* iw = f + (ho + 10 + (s >> 2)) * 128;
+                for (int l = 0; l < 128; ++l) {
+                    if (((iw[l] >> sh8) & 0xFF) == 0xFF)
+                        iw[l] = (iw[l] & ~(0xFF << sh8)) | (fallback << sh8);
+                }
+            }
+        }
+    }
+    out->n_tiles = p_next * QF;
     return out;
 }
 

@@ -1159,7 +1159,8 @@ jax.tree_util.register_dataclass(
 def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
                                  two_choice: bool = False,
                                  pattern: bool = False,
-                                 paired: bool | None = None):
+                                 paired: bool | None = None,
+                                 oct: bool | None = None):
     """Fused routeless cell layout (packer mode 3, or mode 4 with
     two-choice lanes); None without the native packer or when the output
     exceeds the resident-VMEM cap.
@@ -1179,16 +1180,30 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     if n_rb > FUSED_MAX_RB:
         return None
     nnz = int(np.asarray(rows).shape[0])
+    if oct is None:
+        oct = not two_choice and os.environ.get("SPLA_OCT") == "1"
     if paired is None:
         paired = not two_choice and \
             os.environ.get("SPLA_NO_PAIR_STAB") is None
-    mode = 4 if two_choice else (5 if paired else 3)
+    mode = 6 if oct else (4 if two_choice else (5 if paired else 3))
     packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
                          np.asarray(vals), mode=mode, batch=FUSED_K)
     if packed is None:
         return None
     nt, fused, rb_t, wb_t = packed
-    if two_choice:
+    if oct and pattern:
+        # pattern oct layout: drop all eight tiles' value rows
+        # (120 -> 56 rows per oct: 8 x (w, invl) + nibbles + bit planes)
+        f = np.asarray(fused)
+        keep = np.concatenate(
+            [np.arange(t * 12 + 8, t * 12 + 12) for t in range(8)]
+            + [np.arange(96, 120)])
+        fused_dev = jnp.asarray(np.ascontiguousarray(f[:, keep]))
+        layout = 7
+    elif oct:
+        fused_dev = jnp.asarray(np.asarray(fused))
+        layout = 6
+    elif two_choice:
         fused_dev = jnp.asarray(np.asarray(fused).reshape(nt // 8, 232, 128))
         layout = 2
     elif paired and pattern:
@@ -1255,6 +1270,8 @@ _FBLOCK = {
     3: (FUSED_K // 4, 80, 128),
     4: (FUSED_K // 2, 40, 128),
     5: (FUSED_K // 2, 24, 128),
+    6: (FUSED_K // 8, 120, 128),
+    7: (FUSED_K // 8, 56, 128),
 }
 
 _PAIR_LAYOUTS = {
@@ -1262,6 +1279,93 @@ _PAIR_LAYOUTS = {
     4: (40, 0, 8, 10, 12, 20, 22, 24),
     5: (24, None, 0, 2, None, 4, 6, 8),
 }
+
+# oct-shared S-table layouts (packer mode 6): EIGHT tiles share one 6-bit
+# S-table (nibble rows + two bit planes; code = tile*8 + sublane, 63 =
+# tile-7 sublane-7 = always-empty -> identity).  120 rows per valued oct
+# = exactly 15 physical vreg tiles (aligned), 15 int32 rows streamed per
+# tile vs the pair layouts' 20; the per-(oct, output-l) capacity is 63
+# slots and up to eight cells (one rb per tile) pool into one oct, which
+# collapses the ceil-quantization padding on low-nnz/cell graphs.
+# layout: (orows, pattern, soff, p4off, p5off); per-tile offsets are
+# voff = t*12, woff = t*12+8, ioff = t*12+10 (valued) or
+# woff = t*4, ioff = t*4+2 (pattern — value rows elided).
+_OCT_LAYOUTS = {
+    6: (120, False, 96, 112, 116),
+    7: (56, True, 32, 48, 52),
+}
+
+
+def _make_oct_body(op_mul, op_add, identity, cwr, layout):
+    """Returns oct_body(o, rb_base, rb_ref, f_ref, x_ref, out_ref):
+    evaluates oct o of the current fused block and applies all eight
+    tiles' output deltas (one 128-row RMW per tile; tiles may target
+    different row blocks)."""
+    orows, pattern, soff, p4off, p5off = _OCT_LAYOUTS[layout]
+    del orows
+
+    def oct_body(o, rb_base, rb_ref, f_ref, x_ref, out_ref):
+        ident = jnp.float32(identity)
+        siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        sh8 = (siota % 4) * 8
+        sh4 = siota * 4
+
+        def fr(a, b):
+            return f_ref[o, a:b]
+
+        def half_psort(voff, woff, ioff):
+            w_words = fr(woff, woff + 2)
+            wrep = jnp.concatenate(
+                [w_words[0:1]] * 4 + [w_words[1:2]] * 4, axis=0)
+            wbyte = (wrep >> sh8) & 0xFF
+            valid = (wbyte & 0x80) != 0
+            w7 = wbyte & 0x7F
+            r3 = w7 & 7
+            m4 = w7 >> 3
+            xg = jnp.zeros((8, 128), jnp.float32)
+            for q in range(cwr // 8):
+                cand = jnp.take_along_axis(x_ref[8 * q: 8 * q + 8], r3,
+                                           axis=0)
+                xg = jnp.where(m4 == q, cand, xg)
+            if voff is None:
+                vals = jnp.ones((8, 128), jnp.float32)
+            else:
+                vals = lax.bitcast_convert_type(fr(voff, voff + 8),
+                                                jnp.float32)
+            prod = op_mul(vals, xg)
+            prod = jnp.where(valid, prod, ident)
+            i_words = fr(ioff, ioff + 2)
+            irep = jnp.concatenate(
+                [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
+            inv = (irep >> sh8) & 0xFF
+            return jnp.take_along_axis(prod, inv, axis=1)
+
+        ps = []
+        for t in range(8):
+            if pattern:
+                ps.append(half_psort(None, t * 4, t * 4 + 2))
+            else:
+                ps.append(half_psort(t * 12, t * 12 + 8, t * 12 + 10))
+        parts = [[] for _ in range(8)]
+        for q in range(16):
+            sw = jnp.broadcast_to(fr(soff + q, soff + q + 1), (8, 128))
+            nib = (sw >> sh4) & 0xF
+            shg = (8 * q) % 32 + siota
+            b4 = (jnp.broadcast_to(fr(p4off + q // 4, p4off + q // 4 + 1),
+                                   (8, 128)) >> shg) & 1
+            b5 = (jnp.broadcast_to(fr(p5off + q // 4, p5off + q // 4 + 1),
+                                   (8, 128)) >> shg) & 1
+            tsel = (nib >> 3) | (b4 << 1) | (b5 << 2)
+            skm = nib & 7
+            for t in range(8):
+                gk = jnp.take_along_axis(ps[t], skm, axis=0)
+                parts[t].append(jnp.where(tsel == t, gk, ident))
+        for t in range(8):
+            delta = jnp.concatenate(parts[t], axis=0)
+            g0 = rb_ref[rb_base + 8 * o + t] * 128
+            out_ref[pl.ds(g0, 128)] = op_add(out_ref[pl.ds(g0, 128)], delta)
+
+    return oct_body
 
 
 def _make_pair_body(op_mul, op_add, identity, cwr, layout):
@@ -1337,9 +1441,16 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout,
     # choice lanes): 29 rows, eight per block row, row 10 = choice bits;
     # layout 3 (PATTERN — all values 1.0, the structural-BFS format):
     # value rows elided, 20-row tiles, four per block row;
-    # layouts 4/5: pair-shared S-table (see _PAIR_LAYOUTS)
-    if layout in _PAIR_LAYOUTS:
-        pair_body = _make_pair_body(op_mul, op_add, identity, cwr, layout)
+    # layouts 4/5: pair-shared S-table (see _PAIR_LAYOUTS);
+    # layouts 6/7: oct-shared S-table (see _OCT_LAYOUTS)
+    if layout in _PAIR_LAYOUTS or layout in _OCT_LAYOUTS:
+        if layout in _OCT_LAYOUTS:
+            unit_body = _make_oct_body(op_mul, op_add, identity, cwr, layout)
+            n_units = FUSED_K // 8
+        else:
+            unit_body = _make_pair_body(op_mul, op_add, identity, cwr,
+                                        layout)
+            n_units = FUSED_K // 2
 
         def pair_kernel(rb_ref, wb_ref, act_ref, f_ref, x_ref, out_ref):
             c = pl.program_id(0)
@@ -1350,8 +1461,8 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout,
                 out_ref[:] = jnp.full_like(out_ref, ident)
 
             def batch_body():
-                for p in range(FUSED_K // 2):
-                    pair_body(p, c * FUSED_K, rb_ref, f_ref, x_ref, out_ref)
+                for p in range(n_units):
+                    unit_body(p, c * FUSED_K, rb_ref, f_ref, x_ref, out_ref)
 
             if gated:
                 @pl.when(act_ref[wb_ref[c]] == 1)
@@ -1504,8 +1615,14 @@ def _make_sparse_fused_kernel(op_mul, op_add, identity, cwr, layout):
     ``n_act`` repeat the previous batch index, so Mosaic elides their
     DMAs — a sparse frontier costs only its active tiles plus an
     essentially free tail."""
-    if layout in _PAIR_LAYOUTS:
-        pair_body = _make_pair_body(op_mul, op_add, identity, cwr, layout)
+    if layout in _PAIR_LAYOUTS or layout in _OCT_LAYOUTS:
+        if layout in _OCT_LAYOUTS:
+            unit_body = _make_oct_body(op_mul, op_add, identity, cwr, layout)
+            n_units = FUSED_K // 8
+        else:
+            unit_body = _make_pair_body(op_mul, op_add, identity, cwr,
+                                        layout)
+            n_units = FUSED_K // 2
 
         def pair_kernel(rb_ref, wb_ref, nact_ref, lst_ref, f_ref, x_ref,
                         out_ref):
@@ -1519,8 +1636,8 @@ def _make_sparse_fused_kernel(op_mul, op_add, identity, cwr, layout):
             @pl.when(c < nact_ref[0])
             def _():
                 b = lst_ref[c]
-                for p in range(FUSED_K // 2):
-                    pair_body(p, b * FUSED_K, rb_ref, f_ref, x_ref, out_ref)
+                for p in range(n_units):
+                    unit_body(p, b * FUSED_K, rb_ref, f_ref, x_ref, out_ref)
 
         return pair_kernel
 

@@ -857,3 +857,87 @@ def test_streaming_level_update_vs_oracle(monkeypatch):
     refd = cg.dijkstra(a, indices=3)
     np.testing.assert_allclose(dist[finite], refd[finite], rtol=1e-5)
     assert np.all(np.isinf(dist[~finite]))
+
+
+def test_oct_pack_invariants_roundtrip():
+    # unpack the OCT layout (packer mode 6: eight tiles share one 6-bit
+    # S-table stored as nibbles + two bit planes) word-by-word and
+    # recover the exact COO multiset
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import build_fused_cell_spmv_arrays
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(13)
+    m, n, nnz = 2100, 1900, 24000
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    rows[:300] = rows[300:600]
+    cols[:300] = cols[300:600]
+    vals = rng.random(nnz, dtype=np.float32) + 0.5
+    cw = 1024
+    fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw,
+                                       oct=True)
+    assert fmt.layout == 6
+    f = np.asarray(fmt.fused)  # [octs, 120, 128] int32
+    rb = np.asarray(fmt.rb_of_tile)
+    wb = np.asarray(fmt.wb_of_batch)
+    from spla_tpu.pallas.spmv import FUSED_K
+    got = []
+    for pid in range(f.shape[0]):
+        blk = f[pid]
+        w_of = wb[(8 * pid) // FUSED_K]
+        for g in range(128):
+            nib = (blk[96 + (g >> 3)] >> (4 * (g & 7))) & 0xF
+            b4 = (blk[112 + (g >> 5)] >> (g & 31)) & 1
+            b5 = (blk[116 + (g >> 5)] >> (g & 31)) & 1
+            code = nib | (b4 << 4) | (b5 << 5)
+            for l in np.nonzero(code != 63)[0]:
+                c = int(code[l])
+                h, sub = c >> 3, c & 7
+                ho = h * 12
+                lane = (blk[ho + 10 + (sub >> 2), l] >> (8 * (sub & 3))) & 0xFF
+                wbyte = (blk[ho + 8 + (sub >> 2), lane] >> (8 * (sub & 3))) & 0xFF
+                assert wbyte & 0x80, "S-table points at an invalid slot"
+                col = int(w_of) * cw + (wbyte & 0x7F) * 128 + int(lane)
+                row = int(rb[8 * pid + h]) * 16384 + g * 128 + int(l)
+                val = np.int32(blk[ho + sub, lane]).view(np.float32)
+                got.append((row, col, float(val)))
+    assert len(got) == nnz
+    want = sorted(zip(rows.tolist(), cols.tolist(),
+                      [float(v) for v in vals]))
+    assert sorted(got) == want
+
+
+@pytest.mark.parametrize("pattern", [False, True])
+def test_oct_layout_spmv_vs_oracle(pattern):
+    # kernel layouts 6 (valued oct) / 7 (pattern oct) against the dense
+    # oracle, PLUS and MIN monoids
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (build_fused_cell_spmv_arrays,
+                                      fused_cell_spmv_apply)
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    m, n, nnz = 40000, 30000, 300000
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.random(nnz, dtype=np.float32) + 0.5
+    x = rng.random(n, dtype=np.float32) + 0.5
+    fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw=2048,
+                                       pattern=pattern, oct=True)
+    assert fmt.layout == (7 if pattern else 6)
+    ev = np.ones_like(vals) if pattern else vals
+    out = np.asarray(fused_cell_spmv_apply(
+        fmt, jnp.asarray(x), op_mul=lambda a, b: a * b, op_add=jnp.add,
+        identity=0.0))
+    ref = np.zeros(m, np.float32)
+    np.add.at(ref, rows, ev * x[cols])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    outm = np.asarray(fused_cell_spmv_apply(
+        fmt, jnp.asarray(x), op_mul=lambda a, b: a + b,
+        op_add=jnp.minimum, identity=np.inf))
+    refm = np.full(m, np.inf, np.float32)
+    np.minimum.at(refm, rows, ev + x[cols])
+    assert np.array_equal(outm, refm)
