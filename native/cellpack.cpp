@@ -102,7 +102,7 @@ void* cellpack_run(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 
 static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                             const int32_t* rows, const int32_t* cols,
-                            const float* vals, int64_t batch);
+                            const float* vals, int64_t batch, bool wide);
 
 static void* cellpack_mode6(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                             const int32_t* rows, const int32_t* cols,
@@ -111,10 +111,12 @@ static void* cellpack_mode6(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 void* cellpack_run2(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                     const int32_t* rows, const int32_t* cols,
                     const float* vals, int32_t mode, int64_t batch) {
+    if (mode == 7)  // wide-window pairs: 8-bit w, no valid flag
+        return cellpack_mode5(nnz, m, n, cw, rows, cols, vals, batch, true);
     if (mode == 6)
         return cellpack_mode6(nnz, m, n, cw, rows, cols, vals, batch);
     if (mode == 5)
-        return cellpack_mode5(nnz, m, n, cw, rows, cols, vals, batch);
+        return cellpack_mode5(nnz, m, n, cw, rows, cols, vals, batch, false);
     if (mode == 3 || mode == 4)
         return cellpack_mode3(nnz, m, n, cw, rows, cols, vals, batch,
                               mode == 4);
@@ -362,9 +364,15 @@ static void* cellpack_mode3(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 //   A: rows 0..7 f32 values | 8..9 w-bytes | 10..11 invl bytes
 //   B: rows 12..19 values   | 20..21 w     | 22..23 invl
 //   shared: rows 24..39 S-table nibbles (nibble g%8 of word [24+g/8][l])
+//
+// wide = mode 7: the w byte holds all 8 bits of (col % cw) >> 7 (cw up
+// to 32768) and there is NO per-slot valid flag — unset slots are never
+// selected by the S-table (the kernel forces half-B sublane 7, the
+// 0xF-code target, to identity and masks invl with 0x7F so the 0xFF
+// sentinel stays in-bounds), so no sentinel-resolution pass is needed.
 static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
                             const int32_t* rows, const int32_t* cols,
-                            const float* vals, int64_t batch) {
+                            const float* vals, int64_t batch, bool wide) {
     const int64_t PFR = 40;  // rows per pair block
     const int64_t n_rb_ = (m + ROW_BLOCK - 1) / ROW_BLOCK;
     const int64_t n_rb = n_rb_ > 0 ? n_rb_ : 1;
@@ -472,7 +480,7 @@ static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
         f[(ho + sub) * 128 + b] = vbits;
         const int sh8 = 8 * (sub & 3);
         int32_t* ww = f + (ho + 8 + (sub >> 2)) * 128 + b;
-        *ww = (*ww & ~(0xFF << sh8)) | ((w7 | 0x80) << sh8);
+        *ww = (*ww & ~(0xFF << sh8)) | ((wide ? w7 : (w7 | 0x80)) << sh8);
         int32_t* iw = f + (ho + 10 + (sub >> 2)) * 128 + l;
         *iw = (*iw & ~(0xFF << sh8)) | (b << sh8);
         const int sh4 = 4 * (g & 7);
@@ -694,7 +702,10 @@ static void* cellpack_mode5(int64_t nnz, int64_t m, int64_t n, int64_t cw,
 
     // resolve invl sentinels per half (absent output-l positions point at
     // a lane whose slot in that sublane row is INVALID; a full row has no
-    // sentinels left, so a fallback always exists)
+    // sentinels left, so a fallback always exists).  Wide mode has no
+    // valid flag to scan; its kernel masks invl with 0x7F instead, so
+    // the 0xFF sentinel reads (in-bounds, never-selected) lane 127.
+    if (!wide)
     for (int64_t pid = 0; pid < p_next; ++pid) {
         int32_t* f = out->fused + pid * PFR * 128;
         for (int h = 0; h < 2; ++h) {

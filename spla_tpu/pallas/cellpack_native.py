@@ -100,7 +100,7 @@ def _cache_key(m, n, cw, rows, cols, vals, mode, batch=1):
 
 
 def _cache_names(mode):
-    if mode in (3, 4, 5, 6):
+    if mode in (3, 4, 5, 6, 7):
         return ["nt", "fused", "rb", "wb"]
     names = ["nt", "t_vals", "t_pk", "t_route", "rb", "wb", "first"]
     if mode >= 1:
@@ -167,10 +167,10 @@ def native_pack(m, n, cw, rows, cols, vals, mode=0, batch=1):
     try:
         nt = lib.cellpack_n_tiles(h)
         cwr = cw // 128
-        if mode in (3, 4, 5, 6):
+        if mode in (3, 4, 5, 6, 7):
             if mode == 6:  # oct-shared S-table: 120-row OCT blocks
                 fshape = (nt // 8, 120, 128)
-            elif mode == 5:  # pair-shared S-table: 40-row PAIR blocks
+            elif mode in (5, 7):  # pair-shared S-table: 40-row PAIR blocks
                 fshape = (nt // 2, 40, 128)
             else:
                 fshape = (nt, 28 if mode == 3 else 29, 128)

@@ -1046,7 +1046,7 @@ def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
         rows, cols, vals = host_coo(A)
         m, n = A.shape
         fmt = build_fused_cell_spmv_arrays(
-            m, n, rows, cols, vals.astype(np.float32)
+            m, n, rows, cols, vals.astype(np.float32), cw=None
         )
         if fmt is None:
             fmt = build_s_cell_spmv_arrays(
@@ -1156,7 +1156,24 @@ jax.tree_util.register_dataclass(
 )
 
 
-def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
+def _auto_cw(m, n, nnz, pattern):
+    """cw policy for ``cw=None``: WIDE windows (32768) pay one extra
+    gather sweep per tile but cut the ceil(max_l/8)-tiles-per-cell
+    padding on sparse cells (measured deg-4 uniform 4.72 -> 3.18, deg-16
+    at 8M rows 3.09 -> 2.12).  Pick them when the 16384-wide cells would
+    be sparse (< 1024 entries) AND the graph is clearly past the
+    resident-traversal VMEM budget — resident BFS/SSSP requires the
+    narrow pair layouts and is worth more than the padding win."""
+    n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
+    nwc = max((n + 16383) // 16384, 1)
+    sparse_cells = nnz < 1024 * n_rb * nwc
+    bytes_per_nnz = 6 if pattern else 10  # pair-layout bytes per slot
+    beyond_resident = nnz * bytes_per_nnz * 1.4 > RESIDENT_VMEM
+    return 32768 if (sparse_cells and beyond_resident) else 16384
+
+
+def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
+                                 cw: int | None = 16384,
                                  two_choice: bool = False,
                                  pattern: bool = False,
                                  paired: bool | None = None,
@@ -1174,24 +1191,43 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     # power of two required here (unlike the older formats): the fused
     # window-activity machinery (ow bitmasks, level-update chunking,
     # resident gating) assumes cwr = cw/128 divides 128 and the
-    # 2048-row update chunk
-    assert cw & (cw - 1) == 0 and 1024 <= cw <= 16384, cw
+    # 2048-row update chunk.  cw = 32768 selects the WIDE pair layouts
+    # (packer mode 7: 8-bit w byte, no valid flag) — the padding fix for
+    # low-degree uniform graphs whose 16384-wide cells hold too few
+    # entries per output-l class.
+    if cw is None:
+        cw = _auto_cw(m, n, int(np.asarray(rows).shape[0]), pattern)
+    assert cw & (cw - 1) == 0 and 1024 <= cw <= 32768, cw
+    wide = cw > 16384
     n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
     if n_rb > FUSED_MAX_RB:
         return None
     nnz = int(np.asarray(rows).shape[0])
     if oct is None:
-        oct = not two_choice and os.environ.get("SPLA_OCT") == "1"
+        oct = not two_choice and not wide and \
+            os.environ.get("SPLA_OCT") == "1"
     if paired is None:
         paired = not two_choice and \
             os.environ.get("SPLA_NO_PAIR_STAB") is None
-    mode = 6 if oct else (4 if two_choice else (5 if paired else 3))
+    if wide and (two_choice or oct or not paired):
+        return None  # wide windows exist only for the pair layouts
+    mode = 7 if wide else (
+        6 if oct else (4 if two_choice else (5 if paired else 3)))
     packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
                          np.asarray(vals), mode=mode, batch=FUSED_K)
     if packed is None:
         return None
     nt, fused, rb_t, wb_t = packed
-    if oct and pattern:
+    if wide and pattern:
+        f = np.asarray(fused)
+        f24 = np.ascontiguousarray(
+            np.concatenate([f[:, 8:12], f[:, 20:40]], axis=1))
+        fused_dev = jnp.asarray(f24)
+        layout = 9
+    elif wide:
+        fused_dev = jnp.asarray(np.asarray(fused))
+        layout = 8
+    elif oct and pattern:
         # pattern oct layout: drop all eight tiles' value rows
         # (120 -> 56 rows per oct: 8 x (w, invl) + nibbles + bit planes)
         f = np.asarray(fused)
@@ -1231,7 +1267,8 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw: int = 16384,
     # Only computed for resident-eligible formats (the host pass is
     # O(tiles * 128/cwr) and useless for formats too big for VMEM).
     ow = None
-    if fused_dev.nbytes + 3 * n_rb * 128 * 128 * 4 <= RESIDENT_VMEM:
+    if not wide and \
+            fused_dev.nbytes + 3 * n_rb * 128 * 128 * 4 <= RESIDENT_VMEM:
         cwr_b = cw // 128
         nwc_k = (n_rb * 128) // cwr_b
         n_words = (nwc_k + 23) // 24
@@ -1272,13 +1309,26 @@ _FBLOCK = {
     5: (FUSED_K // 2, 24, 128),
     6: (FUSED_K // 8, 120, 128),
     7: (FUSED_K // 8, 56, 128),
+    8: (FUSED_K // 2, 40, 128),
+    9: (FUSED_K // 2, 24, 128),
 }
 
 _PAIR_LAYOUTS = {
     # layout: (prows, voffA, woffA, ioffA, voffB, woffB, ioffB, soff)
     4: (40, 0, 8, 10, 12, 20, 22, 24),
     5: (24, None, 0, 2, None, 4, 6, 8),
+    # wide-window pairs (packer mode 7, cw up to 32768): same rows as
+    # 4/5 but the w byte holds all 8 bits of (col % cw) >> 7 and there
+    # is NO valid flag — the kernel forces half-B sublane 7 (the 0xF
+    # S-code target) to identity and masks invl with 0x7F instead.
+    # Doubling the window doubles the per-cell entry count, which drops
+    # the ceil(max_l/8)-tiles-per-cell padding floor on low-degree
+    # uniform graphs (~4.7 -> ~3.3 measured on deg-4) for one extra
+    # gather sweep (cwr 256: 32 depth-8 selects instead of 16).
+    8: (40, 0, 8, 10, 12, 20, 22, 24),
+    9: (24, None, 0, 2, None, 4, 6, 8),
 }
+_WIDE_PAIR_LAYOUTS = frozenset({8, 9})
 
 # oct-shared S-table layouts (packer mode 6): EIGHT tiles share one 6-bit
 # S-table (nibble rows + two bit planes; code = tile*8 + sublane, 63 =
@@ -1376,6 +1426,7 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
     prows, voffA, woffA, ioffA, voffB, woffB, ioffB, soff = \
         _PAIR_LAYOUTS[layout]
     del prows
+    wide = layout in _WIDE_PAIR_LAYOUTS
 
     def pair_body(p, rb_base, rb_ref, f_ref, x_ref, out_ref):
         ident = jnp.float32(identity)
@@ -1391,8 +1442,11 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
             wrep = jnp.concatenate(
                 [w_words[0:1]] * 4 + [w_words[1:2]] * 4, axis=0)
             wbyte = (wrep >> sh8) & 0xFF
-            valid = (wbyte & 0x80) != 0
-            w7 = wbyte & 0x7F
+            if wide:
+                w7 = wbyte  # full 8-bit window row, no valid flag
+            else:
+                valid = (wbyte & 0x80) != 0
+                w7 = wbyte & 0x7F
             r3 = w7 & 7
             m4 = w7 >> 3
             xg = jnp.zeros((8, 128), jnp.float32)
@@ -1406,15 +1460,20 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
                 vals = lax.bitcast_convert_type(fr(voff, voff + 8),
                                                 jnp.float32)
             prod = op_mul(vals, xg)
-            prod = jnp.where(valid, prod, ident)
+            if not wide:
+                prod = jnp.where(valid, prod, ident)
             i_words = fr(ioff, ioff + 2)
             irep = jnp.concatenate(
                 [i_words[0:1]] * 4 + [i_words[1:2]] * 4, axis=0)
-            inv = (irep >> sh8) & 0xFF
+            inv = (irep >> sh8) & (0x7F if wide else 0xFF)
             return jnp.take_along_axis(prod, inv, axis=1)
 
         psA = half_psort(voffA, woffA, ioffA)
         psB = half_psort(voffB, woffB, ioffB)
+        if wide:
+            # unset positions select S-code 0xF = half-B sublane 7, which
+            # must read identity (there is no per-slot valid flag)
+            psB = jnp.where(siota == 7, ident, psB)
         partsA, partsB = [], []
         for q in range(16):
             sw = jnp.broadcast_to(fr(soff + q, soff + q + 1), (8, 128))
@@ -2254,9 +2313,10 @@ def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
     return out.reshape(-1)[: fmt.m]
 
 
-def get_fused_format(A: CsrMatrix, cw: int = 16384):
+def get_fused_format(A: CsrMatrix, cw: int | None = None):
     """Cached fused routeless layout of A (None without the native packer
-    or past the resident-output cap)."""
+    or past the resident-output cap).  cw=None picks narrow vs WIDE
+    windows by cell density (see ``_auto_cw``)."""
     if not _FORMAT_CACHE.contains(A.values, ("f", cw)):
         rows, cols, vals = host_coo(A)
         m, n = A.shape
@@ -2265,7 +2325,7 @@ def get_fused_format(A: CsrMatrix, cw: int = 16384):
     return _FORMAT_CACHE.get(A.values, ("f", cw))
 
 
-def get_structural_fused_format(A: CsrMatrix, cw: int = 16384):
+def get_structural_fused_format(A: CsrMatrix, cw: int | None = None):
     """Fused PATTERN layout of A (values 1.0f, value rows elided) for
     structural BFS — 20-row tiles, 28% less traversal stream."""
     if not _FORMAT_CACHE.contains(A.values, ("ffs", cw)):
@@ -2278,7 +2338,7 @@ def get_structural_fused_format(A: CsrMatrix, cw: int = 16384):
 
 
 def get_best_monoid_format(A: CsrMatrix, structural: bool = False,
-                           cw: int = 16384):
+                           cw: int | None = None):
     """(format, apply_fn) for the fastest available any-monoid kernel:
     fused routeless kernel first, then the S-table scatter, then the
     mode-1 compare-select sweep, else (None, None)."""
@@ -2286,12 +2346,13 @@ def get_best_monoid_format(A: CsrMatrix, structural: bool = False,
         A, cw)
     if fmt is not None:
         return fmt, fused_cell_spmv_apply
-    fmt = (get_structural_s_format if structural else get_s_format)(A, cw)
+    cw16 = 16384 if cw is None else cw  # older formats have no wide mode
+    fmt = (get_structural_s_format if structural else get_s_format)(A, cw16)
     if fmt is not None:
         return fmt, s_cell_spmv_apply
     fmt = (
         get_structural_monoid_format if structural else get_monoid_format
-    )(A, cw)
+    )(A, cw16)
     if fmt is not None:
         return fmt, monoid_cell_spmv_apply
     return None, None

@@ -70,7 +70,7 @@ jax.tree_util.register_dataclass(
 
 def shard_cell_spmv(
     A: CsrMatrix, n_shards: int, mesh: Mesh | None = None,
-    cw: int = 16384, axis: str = "d", values=None,
+    cw: int | None = 16384, axis: str = "d", values=None,
 ) -> ShardedCellSpmv | None:
     """Host-side: block-row partition + per-shard fused cell packing.
 
@@ -86,6 +86,13 @@ def shard_cell_spmv(
         vals = np.broadcast_to(values, vals.shape).astype(np.float32)
 
     n_pad = n_shards * mloc  # the all-gather frame: global ids unchanged
+    if cw is None:
+        # resolve the narrow-vs-wide choice ONCE from global stats so all
+        # shards pack the same layout (the kernel requires it)
+        from ..pallas.spmv import _auto_cw
+
+        cw = _auto_cw(mloc, n_pad, max(rows.size // max(n_shards, 1), 1),
+                      values is not None)
     fmts = []
     for s in range(n_shards):
         lo, hi = s * mloc, min((s + 1) * mloc, m)
@@ -119,8 +126,11 @@ def shard_cell_spmv(
     sc = ShardedCellSpmv(
         m=m, n=n, mloc=mloc, n_shards=n_shards, cw=cw, n_tiles=T,
         n_row_blocks=fmts[0].n_row_blocks, layout=fmts[0].layout,
-        # zero fused rows = valid bit clear = identity delta (inert)
-        fused=padded(lambda f: f.fused, 0, np.int32),
+        # inert pad blocks: narrow layouts use 0 (valid bit clear);
+        # WIDE layouts have no valid flag — all-0xFF blocks read S-code
+        # 63 (absent) everywhere instead
+        fused=padded(lambda f: f.fused,
+                     -1 if fmts[0].layout in (8, 9) else 0, np.int32),
         rb_of_tile=padded(lambda f: f.rb_of_tile, 0, np.int32),
         # pad batches repeat the LAST window index so their x-block DMA
         # is elided (index unchanged between grid steps)

@@ -941,3 +941,51 @@ def test_oct_layout_spmv_vs_oracle(pattern):
     refm = np.full(m, np.inf, np.float32)
     np.minimum.at(refm, rows, ev + x[cols])
     assert np.array_equal(outm, refm)
+
+
+def test_wide_pair_layout_spmv_vs_oracle():
+    # WIDE pair layouts (packer mode 7, cw = 32768: 8-bit w byte, no
+    # valid flag) against the dense oracle, PLUS and MIN monoids,
+    # valued and pattern variants
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (build_fused_cell_spmv_arrays,
+                                      fused_cell_spmv_apply)
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(17)
+    m, n, nnz = 50000, 70000, 400000
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    rows[:200] = rows[200:400]  # duplicate coordinates
+    cols[:200] = cols[200:400]
+    vals = rng.random(nnz, dtype=np.float32) + 0.5
+    x = rng.random(n, dtype=np.float32) + 0.5
+    for pattern in (False, True):
+        fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
+                                           cw=32768, pattern=pattern)
+        assert fmt.layout == (9 if pattern else 8)
+        ev = np.ones_like(vals) if pattern else vals
+        out = np.asarray(fused_cell_spmv_apply(
+            fmt, jnp.asarray(x), op_mul=lambda a, b: a * b,
+            op_add=jnp.add, identity=0.0))
+        ref = np.zeros(m, np.float32)
+        np.add.at(ref, rows, ev * x[cols])
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+        outm = np.asarray(fused_cell_spmv_apply(
+            fmt, jnp.asarray(x), op_mul=lambda a, b: a + b,
+            op_add=jnp.minimum, identity=np.inf))
+        refm = np.full(m, np.inf, np.float32)
+        np.minimum.at(refm, rows, ev + x[cols])
+        assert np.array_equal(outm, refm)
+
+
+def test_auto_cw_policy():
+    from spla_tpu.pallas.spmv import _auto_cw
+
+    # small graph (resident-eligible): narrow regardless of density
+    assert _auto_cw(1 << 20, 1 << 20, (1 << 20) * 3, False) == 16384
+    # big sparse graph: wide
+    assert _auto_cw(1 << 23, 1 << 23, (1 << 23) * 4, False) == 32768
+    # big dense graph (cells >= 1024 entries): narrow
+    assert _auto_cw(1 << 21, 1 << 21, (1 << 21) * 16, False) == 16384
