@@ -73,6 +73,7 @@ __all__ = [
     "cell_spmv_apply",
     "s_cell_spmv_apply",
     "fused_cell_spmv_apply",
+    "fused_cell_spmv_apply_manual",
     "fused_cell_spmv_apply_adaptive",
     "fused_spmv2d_adaptive",
     "get_best_monoid_format",
@@ -1428,14 +1429,14 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
     del prows
     wide = layout in _WIDE_PAIR_LAYOUTS
 
-    def pair_body(p, rb_base, rb_ref, f_ref, x_ref, out_ref):
+    def pair_body_acc(rb_off, rb_ref, fr, xs, out_ref):
+        """Accessor-form body: fr(a, b) -> fused rows [a, b) of this
+        pair; xs(q) -> rows [8q, 8q+8) of the x window.  Shared by the
+        pipelined grid kernel and the manual-DMA variant."""
         ident = jnp.float32(identity)
         siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         sh8 = (siota % 4) * 8
         sh4 = siota * 4
-
-        def fr(a, b):
-            return f_ref[p, a:b]
 
         def half_psort(voff, woff, ioff):
             w_words = fr(woff, woff + 2)
@@ -1451,8 +1452,7 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
             m4 = w7 >> 3
             xg = jnp.zeros((8, 128), jnp.float32)
             for q in range(cwr // 8):
-                cand = jnp.take_along_axis(x_ref[8 * q: 8 * q + 8], r3,
-                                           axis=0)
+                cand = jnp.take_along_axis(xs(q), r3, axis=0)
                 xg = jnp.where(m4 == q, cand, xg)
             if voff is None:
                 vals = jnp.ones((8, 128), jnp.float32)
@@ -1486,11 +1486,17 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
             partsB.append(jnp.where(isA, ident, gkB))
         deltaA = jnp.concatenate(partsA, axis=0)
         deltaB = jnp.concatenate(partsB, axis=0)
-        g0A = rb_ref[rb_base + 2 * p] * 128
+        g0A = rb_ref[rb_off] * 128
         out_ref[pl.ds(g0A, 128)] = op_add(out_ref[pl.ds(g0A, 128)], deltaA)
-        g0B = rb_ref[rb_base + 2 * p + 1] * 128
+        g0B = rb_ref[rb_off + 1] * 128
         out_ref[pl.ds(g0B, 128)] = op_add(out_ref[pl.ds(g0B, 128)], deltaB)
 
+    def pair_body(p, rb_base, rb_ref, f_ref, x_ref, out_ref):
+        pair_body_acc(rb_base + 2 * p, rb_ref,
+                      lambda a, b: f_ref[p, a:b],
+                      lambda q: x_ref[8 * q: 8 * q + 8], out_ref)
+
+    pair_body.acc = pair_body_acc
     return pair_body
 
 
@@ -1627,6 +1633,9 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
                           skip_inactive=False):
     """r = A x over (op_mul, op_add) with the fused routeless kernel —
     semantics identical to :func:`monoid_cell_spmv_apply`."""
+    if MANUAL_DMA and not skip_inactive and fmt.layout in _PAIR_LAYOUTS:
+        return fused_cell_spmv_apply_manual(fmt, x, op_mul, op_add,
+                                            identity)
     cwr = fmt.cw // 128
     nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
     ident = jnp.float32(identity)
@@ -1665,6 +1674,103 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_should_interpret(),
     )(fmt.rb_of_tile, fmt.wb_of_batch, act, fmt.fused, x2d)
+    return out.reshape(-1)[: fmt.m]
+
+
+# experimental: route pair-layout SpMVs through the manual-DMA kernel
+# (set SPLA_MANUAL_DMA=1).  Built to test whether Mosaic's automatic
+# grid pipeline overlaps the fused-block stream with VPU compute — the
+# round-2 hardware ablations were perfectly ADDITIVE (stream + gather +
+# scatter + fixed ≈ measured), which says it does not.
+MANUAL_DMA = os.environ.get("SPLA_MANUAL_DMA") == "1"
+MANUAL_DMA_SLOTS = int(os.environ.get("SPLA_MANUAL_SLOTS", "2"))
+
+
+def fused_cell_spmv_apply_manual(fmt: FusedCellSpmv, x, op_mul, op_add,
+                                 identity, slots: int | None = None):
+    """Manual double-buffered fused SpMV (pair layouts only): the fused
+    array stays in HBM (``memory_space=ANY``) and the kernel issues its
+    own batch-block DMAs into ``slots`` VMEM buffers — explicit
+    DMA/compute overlap instead of Mosaic's per-grid-step pipeline.
+    x and the output live whole in VMEM, so this variant is capped at
+    roughly m, n <= 8M on a 128 MB-VMEM chip."""
+    assert fmt.layout in _PAIR_LAYOUTS, fmt.layout
+    if slots is None:
+        slots = MANUAL_DMA_SLOTS
+    NB = max(int(slots), 2)
+    prows = _PAIR_LAYOUTS[fmt.layout][0]
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    ident0 = jnp.float32(identity)
+    x2d = jnp.full((nwr * 128,), ident0).at[: fmt.n].set(x).reshape(nwr, 128)
+    nbatch = fmt.n_tiles // FUSED_K
+    ppb = FUSED_K // 2  # pairs per batch
+    fn = getattr(op_mul, "fn", op_mul)
+    add = getattr(op_add, "fn", op_add)
+    body_acc = _make_pair_body(fn, add, float(identity), cwr,
+                               fmt.layout).acc
+    fident = float(identity)
+
+    def kernel(rb_ref, wb_ref, f_hbm, x_ref, out_ref):
+        ident = jnp.float32(fident)
+
+        def body(scratch, sem_ref):
+            def get_dma(slot, c):
+                return pltpu.make_async_copy(
+                    f_hbm.at[pl.ds(c * ppb, ppb)],
+                    scratch.at[slot],
+                    sem_ref.at[slot],
+                )
+
+            out_ref[:] = jnp.full_like(out_ref, ident)
+            for s in range(NB):
+                get_dma(s, s).start()
+
+            def loop_body(c, _):
+                slot = lax.rem(c, NB)
+                get_dma(slot, c).wait()
+                wbase = wb_ref[c] * cwr
+                xw = x_ref[pl.ds(wbase, cwr)]
+                for p in range(ppb):
+                    body_acc(c * FUSED_K + 2 * p, rb_ref,
+                             lambda a, b, p=p: scratch[slot, p, a:b],
+                             lambda q: xw[8 * q: 8 * q + 8], out_ref)
+
+                # refill THIS slot for step c+NB only after its compute
+                # is done (issuing before the wait would overwrite the
+                # buffer being consumed)
+                @pl.when(c + NB < nbatch)
+                def _():
+                    get_dma(slot, c + NB).start()
+
+                return 0
+
+            lax.fori_loop(0, nbatch, loop_body, 0)
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((NB, ppb, prows, 128), jnp.int32),
+            sem_ref=pltpu.SemaphoreType.DMA((NB,)),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # rb_of_tile, wb_of_batch
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks * 128, 128),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_should_interpret(),
+    )(fmt.rb_of_tile, fmt.wb_of_batch, fmt.fused, x2d)
     return out.reshape(-1)[: fmt.m]
 
 

@@ -989,3 +989,38 @@ def test_auto_cw_policy():
     assert _auto_cw(1 << 23, 1 << 23, (1 << 23) * 4, False) == 32768
     # big dense graph (cells >= 1024 entries): narrow
     assert _auto_cw(1 << 21, 1 << 21, (1 << 21) * 16, False) == 16384
+
+
+def test_manual_dma_apply_matches_pipelined():
+    # the manual double-buffered kernel (fused array in HBM, explicit
+    # async copies) must match the pipelined grid kernel bitwise, for
+    # both narrow and wide pair layouts
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (build_fused_cell_spmv_arrays,
+                                      fused_cell_spmv_apply,
+                                      fused_cell_spmv_apply_manual)
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(23)
+    m, n, nnz = 40000, 40000, 300000
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.random(nnz, dtype=np.float32) + 0.5
+    x = jnp.asarray(rng.random(n, dtype=np.float32))
+    for cw in (16384, 32768):
+        fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals, cw=cw)
+        a = np.asarray(fused_cell_spmv_apply(
+            fmt, x, op_mul=lambda u, v: u * v, op_add=jnp.add,
+            identity=0.0))
+        b = np.asarray(fused_cell_spmv_apply_manual(
+            fmt, x, op_mul=lambda u, v: u * v, op_add=jnp.add,
+            identity=0.0))
+        assert np.array_equal(a, b)
+        am = np.asarray(fused_cell_spmv_apply(
+            fmt, x, op_mul=lambda u, v: u + v, op_add=jnp.minimum,
+            identity=np.inf))
+        bm = np.asarray(fused_cell_spmv_apply_manual(
+            fmt, x, op_mul=lambda u, v: u + v, op_add=jnp.minimum,
+            identity=np.inf))
+        assert np.array_equal(am, bm)
