@@ -20,9 +20,18 @@ cannot hide device time.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _log(msg):
+    """Progress to stderr (the driver parses the stdout JSON line only)."""
+    print(f"[bench {time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def build_graph(n=1 << 21, deg=16, seed=0):
@@ -62,18 +71,27 @@ def main():
 
     n = 1 << 21
     deg = 16
+    _log("building graph")
     indptr, rows, cols, vals = build_graph(n, deg)
+    _log("graph built")
     nnz = vals.size
     x = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
 
     t0 = time.perf_counter()
-    fmt = build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
+    # cw=None -> auto window-width policy.  For this graph (2047
+    # entries/cell) it keeps 16384: 32768-wide windows were measured a
+    # wash here — pad 2.126 -> 1.781 but +8.4 ns/tile of extra gather
+    # sweep (tools/ab_spmv.py --variant wide: 2.866 vs 2.855 ms).  Wide
+    # windows win on LOW-degree graphs, which is when the policy picks
+    # them.
+    fmt = build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=None)
     if fmt is None:
         fmt = build_monoid_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
     if fmt is None:  # no native toolchain: MXU bf16x3 kernel
         fmt = build_cell_spmv_arrays(n, n, rows, cols, vals, cw=16384)
     jax.block_until_ready(getattr(fmt, "fused", getattr(fmt, "vals", None)))
     build_s = time.perf_counter() - t0
+    _log(f"packed in {build_s:.1f}s: pad={fmt.slots / fmt.nnz:.3f}")
     kind = ("fused" if hasattr(fmt, "fused")
             else "monoid" if hasattr(fmt, "invl") else "mxu")
 
@@ -96,8 +114,10 @@ def main():
             o = cell_spmv_apply(fmt, y)
         return o * ((1.0 + k * 1e-6) / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
 
+    _log("compiling + warm-up")
     y = step(fmt, x, jnp.float32(0))
     np.asarray(y)  # warm-up incl. D2H path
+    _log("warm-up done; timing 2 x 100 chained iterations")
 
     # NOTE: device->host materialization, not block_until_ready — the
     # latter is unreliable through remote-TPU transports and can return
@@ -112,6 +132,7 @@ def main():
             y = step(fmt, y, jnp.float32(k % 97))
         out = np.asarray(jnp.sum(jnp.abs(y)))  # scalar: 4-byte transfer
         best = min(best, (time.perf_counter() - t0) / iters)
+        _log(f"chain done: {(time.perf_counter() - t0) / iters * 1e3:.3f} ms/iter")
     dt = best
 
     if args.profile:

@@ -126,7 +126,7 @@ def main():
     # through the remote transport measures 25 ms — per-call timing would
     # measure the tunnel, not the device
     Ac = F.csr_from_scipy(A.astype(np.int32))
-    v = alg.bfs(Ac, 0)
+    v = alg.bfs(Ac, 0, At=Ac)  # undirected by construction
     np.asarray(jnp.sum(v.values))  # warm-up compile
     reps = 10
     dt = float("inf")
@@ -134,7 +134,7 @@ def main():
         src = jnp.asarray(0, jnp.int32)
         t0 = time.perf_counter()
         for k in range(reps):
-            v = alg.bfs(Ac, src)
+            v = alg.bfs(Ac, src, At=Ac)
             src = (jnp.min(v.values) * 0 + (k + 1) % 7).astype(jnp.int32)
         np.asarray(src)
         dt = min(dt, (time.perf_counter() - t0) / reps)
@@ -210,7 +210,7 @@ def main():
     Ard = sp.csr_matrix((np.ones(rr.size, np.float32), (rr, cc)),
                         shape=(nrd, nrd))
     Ardc = F.csr_from_scipy(Ard)
-    lev = alg.bfs(Ardc, 0)
+    lev = alg.bfs(Ardc, 0, At=Ardc)  # grid graph: symmetric
     lv = np.asarray(lev.values)  # warm-up + level count
     rreps = 3
     dtr = float("inf")
@@ -218,7 +218,7 @@ def main():
         src = jnp.asarray(0, jnp.int32)
         t0 = time.perf_counter()
         for k in range(rreps):
-            lev = alg.bfs(Ardc, src)
+            lev = alg.bfs(Ardc, src, At=Ardc)
             src = (jnp.min(lev.values) * 0 + k + 1).astype(jnp.int32)
         np.asarray(src)
         dtr = min(dtr, (time.perf_counter() - t0) / rreps)
@@ -263,14 +263,14 @@ def main():
         Abig = sp.csr_matrix(
             (np.ones(rrb.size, np.float32), (rrb, ccb)), shape=(nrb_, nrb_))
         Abc = F.csr_from_scipy(Abig)
-        levb = alg.bfs(Abc, 0)
+        levb = alg.bfs(Abc, 0, At=Abc)  # symmetric
         lvb = np.asarray(levb.values)
         dtb = float("inf")
         for _ in range(2):
             src = jnp.asarray(0, jnp.int32)
             t0 = time.perf_counter()
             for k in range(2):
-                levb = alg.bfs(Abc, src)
+                levb = alg.bfs(Abc, src, At=Abc)
                 src = (jnp.min(levb.values) * 0 + k + 1).astype(jnp.int32)
             np.asarray(src)
             dtb = min(dtb, (time.perf_counter() - t0) / 2)
@@ -287,15 +287,19 @@ def main():
     Wrd = sp.csr_matrix(
         (wrng.uniform(0.1, 1.0, int(sel.sum())).astype(np.float32),
          (rr[sel], cc[sel])), shape=(nrs, nrs))
+    # symmetrize the WEIGHTS too (the structure already is): the two
+    # directions of each edge drew independent values above, which would
+    # make sssp's default A^T differ from A
+    Wrd = Wrd.maximum(Wrd.T).tocsr()
     Wrdc = F.csr_from_scipy(Wrd)
-    dist = alg.sssp(Wrdc, 0)
+    dist = alg.sssp(Wrdc, 0, At=Wrdc)
     np.asarray(dist.values)  # warm-up
     dts = float("inf")
     for _ in range(2):
         src = jnp.asarray(0, jnp.int32)
         t0 = time.perf_counter()
         for k in range(rreps):
-            dist = alg.sssp(Wrdc, src)
+            dist = alg.sssp(Wrdc, src, At=Wrdc)
             src = (jnp.argmin(dist.values) * 0 + k + 1).astype(jnp.int32)
         np.asarray(src)
         dts = min(dts, (time.perf_counter() - t0) / rreps)

@@ -36,7 +36,36 @@ from .descriptor import Descriptor
 from .formats import WeakIdCache, csr_transpose_host
 
 _TC_PATTERN_CACHE = WeakIdCache()  # is-0/1-pattern verdicts, keyed on values
+_AT_CACHE = WeakIdCache()  # default A^T per matrix (bfs/sssp pull kernels)
 from .ops.spmv import masked_spmv, masked_spmv_structural
+
+
+def _default_At(A: CsrMatrix) -> CsrMatrix:
+    """A^T for the pull traversal kernels when the caller gave none.
+
+    The reference traverses by PUSH over A's rows (vxm:
+    ``r[j] = or/min_i f[i] (x) A[i,j]``, ``src/algorithm.cpp:97``); the
+    pull kernels here compute ``mxv(At, f)``, which matches only when
+    ``At = A^T``.  Directed graphs therefore need the transpose — an
+    ``At=A`` default silently walks REVERSED edges on any non-symmetric
+    matrix.  Cached per matrix.  Symmetric matrices (the benchmark
+    graphs) return A itself so packed-format caches keyed on A still
+    hit; callers that already know A is symmetric should pass ``At=A``
+    explicitly and skip this check.
+    """
+    hit = _AT_CACHE.get(A.values)
+    if hit is not None:
+        return hit
+    T = csr_transpose_host(A)
+    # T is canonical A^T; transposing again gives canonical A, so the
+    # comparison is order-insensitive even when A's cols are unsorted.
+    T2 = csr_transpose_host(T)
+    if (np.array_equal(np.asarray(T2.indptr), np.asarray(T.indptr))
+            and np.array_equal(np.asarray(T2.cols), np.asarray(T.cols))
+            and np.array_equal(np.asarray(T2.values), np.asarray(T.values))):
+        T = A
+    _AT_CACHE.put(A.values, T)
+    return T
 
 
 def _on_tpu() -> bool:
@@ -224,13 +253,15 @@ def bfs(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
         At: CsrMatrix | None = None) -> DenseVec:
     """Reference signature: ``bfs(v, A, s, desc)`` — returns depth vector.
 
-    ``At`` (CSR of A^T) enables push traversal; defaults to A (exact for
-    the undirected benchmark graphs).  All traversal modes produce
+    ``At`` is the CSR of A^T, the orientation the pull kernels traverse;
+    it defaults to a cached transpose of A (returned as A itself when A
+    is symmetric — pass ``At=A`` explicitly for known-undirected graphs
+    to skip the one-time symmetry check).  All traversal modes produce
     identical depths; the loop runs fully on device.  On TPU the
     traversal step runs the Pallas cell-SpMV kernel.
     """
     if At is None:
-        At = A
+        At = _default_At(A)
     if _on_tpu():
         from .pallas.spmv import get_best_monoid_format, get_structural_format
 
@@ -395,9 +426,13 @@ def sssp(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
          At: CsrMatrix | None = None) -> DenseVec:
     """Single-source shortest paths; fill/unreachable = +inf (reference
     sets fill_value=inf, ``src/algorithm.cpp:176-178``).  On TPU the
-    relaxation runs the Pallas min-plus monoid kernel."""
+    relaxation runs the Pallas min-plus monoid kernel.
+
+    ``At`` = CSR of A^T (see :func:`bfs`); defaults to a cached
+    transpose so directed graphs relax along A's edges, not against
+    them."""
     if At is None:
-        At = A
+        At = _default_At(A)
     if _on_tpu() and At.values.dtype == jnp.float32:
         from .pallas.spmv import get_best_monoid_format
 

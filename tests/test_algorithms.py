@@ -102,3 +102,69 @@ def test_tc_vs_naive(seed):
     Ac = F.csr_from_scipy(A)
     adj, _ = to_adj(A)
     assert tc(Ac) == tc_naive(adj)
+
+
+# ---------------------------------------------------------------------------
+# Directed graphs: the default At must be a true transpose, not A
+# (round-3 fix: At=A silently walked reversed edges on directed inputs;
+# reference bfs/sssp handle directed graphs with just A,
+# ``src/algorithm.cpp:45-120,158-229``)
+# ---------------------------------------------------------------------------
+
+
+def random_directed(n, avg_deg, seed, weighted=False):
+    rng = np.random.default_rng(seed)
+    m = n * avg_deg
+    r = rng.integers(0, n, m)
+    c = rng.integers(0, n, m)
+    keep = r != c
+    r, c = r[keep], c[keep]
+    vals = (rng.uniform(0.1, 2.0, r.size).astype(np.float32)
+            if weighted else np.ones(r.size, np.int32))
+    A = sp.coo_matrix((vals, (r, c)), shape=(n, n))
+    A.sum_duplicates()
+    if not weighted:
+        A.data[:] = 1
+    return A.tocsr()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bfs_directed_vs_naive(seed):
+    A = random_directed(120, 5, seed)
+    adj, _ = to_adj(A)
+    Ac = F.csr_from_scipy(A.astype(np.int32))
+    got = np.asarray(bfs(Ac, 0).values)  # no At: default must transpose
+    expect = bfs_naive(adj, 0)
+    np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sssp_directed_vs_naive(seed):
+    A = random_directed(110, 5, seed, weighted=True)
+    adj, w = to_adj(A)
+    Ac = F.csr_from_scipy(A, dtype=np.float32)
+    got = np.asarray(sssp(Ac, 0).values)
+    expect = sssp_naive(adj, w, 0)
+    finite = np.isfinite(expect)
+    np.testing.assert_allclose(got[finite], expect[finite], rtol=1e-5)
+    assert np.all(np.isinf(got[~finite]))
+
+
+def test_default_At_symmetric_reuses_A():
+    # symmetric input: the cached default At must be A itself so
+    # packed-format caches keyed on A still hit
+    from spla_tpu.algorithms import _default_At
+
+    A = random_undirected(80, 5, 4, weighted=True)
+    Ac = F.csr_from_scipy(A, dtype=np.float32)
+    assert _default_At(Ac) is Ac
+    # directed input: must be a real transpose, cached across calls
+    D = random_directed(80, 5, 5, weighted=True)
+    Dc = F.csr_from_scipy(D, dtype=np.float32)
+    T1 = _default_At(Dc)
+    assert T1 is not Dc
+    assert _default_At(Dc) is T1
+    got = sp.csr_matrix(
+        (np.asarray(T1.values), np.asarray(T1.cols), np.asarray(T1.indptr)),
+        shape=D.shape).toarray()
+    np.testing.assert_allclose(got, D.T.toarray())

@@ -1003,7 +1003,10 @@ def test_manual_dma_apply_matches_pipelined():
     if _native_lib() is None:
         pytest.skip("no native toolchain")
     rng = np.random.default_rng(23)
-    m, n, nnz = 40000, 40000, 300000
+    # small sizes: this runs the manual kernel's emulated DMAs in
+    # interpret mode, which is ~10^4x slower than hardware — the
+    # round-2 sizes (40000/300000) took tens of minutes on the 1-core CI
+    m, n, nnz = 16384, 40000, 60000
     rows = rng.integers(0, m, nnz).astype(np.int32)
     cols = rng.integers(0, n, nnz).astype(np.int32)
     vals = rng.random(nnz, dtype=np.float32) + 0.5

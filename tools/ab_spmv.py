@@ -1,0 +1,140 @@
+"""Hardware A/B harness for the fused masked-SpMV kernel variants.
+
+Runs ONE variant per process (FUSED_K is frozen at import via
+SPLA_FUSED_K) and prints a JSON line with ms/iter, so a shell loop can
+sweep {layout, K, manual-DMA slots} on the real chip.  Timing follows
+bench.py's methodology: chained iterations, per-iteration perturbation,
+scalar host materialization.
+
+Usage:
+  SPLA_FUSED_K=32 python tools/ab_spmv.py --variant pair --manual 0
+  SPLA_FUSED_K=64 python tools/ab_spmv.py --variant oct
+  python tools/ab_spmv.py --variant wide --manual 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 21)
+    ap.add_argument("--deg", type=int, default=16)
+    ap.add_argument("--cw", type=int, default=0,
+                    help="window width; 0 = variant default")
+    ap.add_argument("--variant", default="pair",
+                    choices=["pair", "oct", "wide", "flat", "two"])
+    ap.add_argument("--manual", type=int, default=0,
+                    help="manual-DMA slot count; 0 = Mosaic pipeline")
+    ap.add_argument("--iters", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_graph
+    from spla_tpu.pallas import spmv as S
+
+    indptr, rows, cols, vals = build_graph(args.n, args.deg)
+    del indptr
+    n = args.n
+    nnz = vals.size
+
+    kw = {}
+    cw = args.cw or None
+    if args.variant == "pair":
+        cw = cw or 16384
+    elif args.variant == "oct":
+        cw = cw or 16384
+        kw = dict(oct=True)
+    elif args.variant == "wide":
+        cw = cw or 32768
+    elif args.variant == "flat":
+        cw = cw or 16384
+        kw = dict(paired=False)
+    elif args.variant == "two":
+        cw = cw or 16384
+        kw = dict(two_choice=True)
+
+    t0 = time.perf_counter()
+    fmt = S.build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=cw, **kw)
+    if fmt is None:
+        print(json.dumps({"variant": args.variant, "error": "build failed"}))
+        return
+    jax.block_until_ready(fmt.fused)
+    build_s = time.perf_counter() - t0
+
+    x = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
+
+    def _mult(av, xv):
+        return av * xv
+
+    manual = args.manual
+
+    @jax.jit
+    def step(fmt, y, k):
+        if manual:
+            o = S.fused_cell_spmv_apply_manual(fmt, y, _mult, jnp.add, 0.0,
+                                               slots=manual)
+        else:
+            o = S.fused_cell_spmv_apply(fmt, y, op_mul=_mult, op_add=jnp.add,
+                                        identity=0.0)
+        return o * ((1.0 + k * 1e-6)
+                    / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
+
+    y = step(fmt, x, jnp.float32(0))
+    ref = None
+    if os.environ.get("SPLA_AB_CHECK") == "1":
+        import scipy.sparse as sp
+        A = sp.coo_matrix((np.asarray(vals), (np.asarray(rows),
+                                              np.asarray(cols))),
+                          shape=(n, n)).tocsr()
+        got = np.asarray(
+            S.fused_cell_spmv_apply(fmt, x, op_mul=_mult, op_add=jnp.add,
+                                    identity=0.0) if not manual else
+            S.fused_cell_spmv_apply_manual(fmt, x, _mult, jnp.add, 0.0,
+                                           slots=manual))
+        ref = A @ np.asarray(x)
+        assert np.allclose(got, ref, rtol=1e-4, atol=1e-5), "MISMATCH"
+    np.asarray(y)
+
+    best = float("inf")
+    for _ in range(2):
+        y = x
+        t0 = time.perf_counter()
+        for k in range(args.iters):
+            y = step(fmt, y, jnp.float32(k % 97))
+        out = np.asarray(jnp.sum(jnp.abs(y)))
+        best = min(best, (time.perf_counter() - t0) / args.iters)
+    assert float(out) > 0
+    dt = best
+
+    bytes_model = nnz * 12 + n * 8 + 4
+    tiles = fmt.slots // 1024
+    print(json.dumps({
+        "variant": args.variant,
+        "K": S.FUSED_K,
+        "manual": manual,
+        "cw": fmt.cw,
+        "layout": fmt.layout,
+        "ms": round(dt * 1e3, 3),
+        "gbps_model": round(bytes_model / dt / 1e9, 1),
+        "ns_per_tile": round(dt * 1e9 / tiles, 1),
+        "padding": round(fmt.slots / fmt.nnz, 3),
+        "tiles": tiles,
+        "build_s": round(build_s, 1),
+        "checked": ref is not None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
