@@ -180,6 +180,43 @@ def main():
         dt = min(dt, (time.perf_counter() - t0) / preps)
     emit("sssp_ms", dt * 1e3, "ms", n=n, nnz=int(A.nnz), device=dev)
 
+    # ---- bf16-A masked SpMV (layout 10: A-values rounded to bf16 and
+    # merged into one 8-row block, -20% streamed bytes; x / products /
+    # accumulation stay f32).  Lossy OPT-IN mode — the headline bench.py
+    # number stays exact f32; this entry quantifies the trade.
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays, fused_cell_spmv_apply)
+
+    coo_w = Aw.tocoo()
+    fmt16 = build_fused_cell_spmv_arrays(
+        n, n, coo_w.row.astype(np.int32), coo_w.col.astype(np.int32),
+        coo_w.data, cw=16384, values_bf16=True)
+    if fmt16 is not None:
+        xs0 = jnp.asarray(np.random.default_rng(5).random(n, np.float32))
+
+        @jax.jit
+        def step16(fmt, y, k):
+            o = fused_cell_spmv_apply(fmt, y, op_mul=lambda a_, b_: a_ * b_,
+                                      op_add=jnp.add, identity=0.0)
+            return o * ((1.0 + k * 1e-6)
+                        / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
+
+        y = step16(fmt16, xs0, jnp.float32(0))
+        np.asarray(y)
+        sreps = 50
+        dt16 = float("inf")
+        for _ in range(2):
+            y = xs0
+            t0 = time.perf_counter()
+            for k in range(sreps):
+                y = step16(fmt16, y, jnp.float32(k % 97))
+            np.asarray(jnp.sum(jnp.abs(y)))
+            dt16 = min(dt16, (time.perf_counter() - t0) / sreps)
+        bytes_model = int(A.nnz) * 12 + n * 8 + 4
+        emit("spmv_bf16a_gbps", bytes_model / dt16 / 1e9, "GB/s", n=n,
+             nnz=int(A.nnz), ms=round(dt16 * 1e3, 3),
+             padding=round(fmt16.slots / fmt16.nnz, 3), device=dev)
+
     # ---- road-network-class BFS (direction optimization stress) ----
     # Morton-ordered 2D grid: locality-preserving vertex order, ~2*side
     # levels of tiny frontiers — the reference's road_central class.

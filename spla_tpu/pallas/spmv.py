@@ -1173,12 +1173,33 @@ def _auto_cw(m, n, nnz, pattern):
     return 32768 if (sparse_cells and beyond_resident) else 16384
 
 
+def _bf16_pack_pairs(f):
+    """40-row valued pairs -> 32-row bf16-A pairs (layouts 10/11): both
+    halves' values rounded to bf16 (round-to-nearest-even) and merged
+    into ONE 8-row block — half A in the high 16 bits (bf16 bits in an
+    f32's top half ARE the f32 approximation, so the kernel unpacks with
+    a single mask), half B in the low 16 (one shift).  -20% streamed
+    bytes vs layout 4; x, the products, and the accumulation stay f32."""
+    va = f[:, 0:8].astype(np.uint32)
+    vb = f[:, 12:20].astype(np.uint32)
+
+    def rne(u):
+        return (u + np.uint32(0x7FFF) + ((u >> 16) & 1)) \
+            & np.uint32(0xFFFF0000)
+
+    vab = (rne(va) | (rne(vb) >> 16)).astype(np.int32)
+    return np.ascontiguousarray(
+        np.concatenate([vab, f[:, 8:12], f[:, 20:24], f[:, 24:40]],
+                       axis=1))
+
+
 def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
                                  cw: int | None = 16384,
                                  two_choice: bool = False,
                                  pattern: bool = False,
                                  paired: bool | None = None,
-                                 oct: bool | None = None):
+                                 oct: bool | None = None,
+                                 values_bf16: bool = False):
     """Fused routeless cell layout (packer mode 3, or mode 4 with
     two-choice lanes); None without the native packer or when the output
     exceeds the resident-VMEM cap.
@@ -1196,6 +1217,8 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
     # (packer mode 7: 8-bit w byte, no valid flag) — the padding fix for
     # low-degree uniform graphs whose 16384-wide cells hold too few
     # entries per output-l class.
+    if values_bf16 and (pattern or two_choice or oct or paired is False):
+        raise ValueError("values_bf16 applies to the valued pair layouts")
     if cw is None:
         cw = _auto_cw(m, n, int(np.asarray(rows).shape[0]), pattern)
     assert cw & (cw - 1) == 0 and 1024 <= cw <= 32768, cw
@@ -1210,6 +1233,9 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
     if paired is None:
         paired = not two_choice and \
             os.environ.get("SPLA_NO_PAIR_STAB") is None
+    if values_bf16:  # env overrides must not reroute a bf16 request
+        oct = False
+        paired = True
     if wide and (two_choice or oct or not paired):
         return None  # wide windows exist only for the pair layouts
     mode = 7 if wide else (
@@ -1225,6 +1251,9 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
             np.concatenate([f[:, 8:12], f[:, 20:40]], axis=1))
         fused_dev = jnp.asarray(f24)
         layout = 9
+    elif wide and values_bf16:
+        fused_dev = jnp.asarray(_bf16_pack_pairs(np.asarray(fused)))
+        layout = 11
     elif wide:
         fused_dev = jnp.asarray(np.asarray(fused))
         layout = 8
@@ -1251,6 +1280,9 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
             np.concatenate([f[:, 8:12], f[:, 20:40]], axis=1))
         fused_dev = jnp.asarray(f24)
         layout = 5
+    elif paired and values_bf16:
+        fused_dev = jnp.asarray(_bf16_pack_pairs(np.asarray(fused)))
+        layout = 10
     elif paired:
         fused_dev = jnp.asarray(np.asarray(fused))
         layout = 4
@@ -1312,12 +1344,23 @@ _FBLOCK = {
     7: (FUSED_K // 8, 56, 128),
     8: (FUSED_K // 2, 40, 128),
     9: (FUSED_K // 2, 24, 128),
+    10: (FUSED_K // 2, 32, 128),
+    11: (FUSED_K // 2, 32, 128),
 }
 
 _PAIR_LAYOUTS = {
     # layout: (prows, voffA, woffA, ioffA, voffB, woffB, ioffB, soff)
+    # voff forms: int = 8 rows of f32 bits; None = pattern (all 1.0);
+    # ("hi"|"lo", row) = bf16 values of this half packed into the high /
+    # low 16 bits of the shared 8-row value block (layouts 10/11) — the
+    # high half unpacks by masking (bf16 bits in an f32's top half ARE
+    # the f32 approximation), the low half by one shift.  No relayout.
     4: (40, 0, 8, 10, 12, 20, 22, 24),
     5: (24, None, 0, 2, None, 4, 6, 8),
+    # bf16-A pair layouts: 32 rows (-20% stream vs layout 4) for values
+    # rounded to bf16 at pack time; x and the accumulation stay f32.
+    10: (32, ("hi", 0), 8, 10, ("lo", 0), 12, 14, 16),
+    11: (32, ("hi", 0), 8, 10, ("lo", 0), 12, 14, 16),
     # wide-window pairs (packer mode 7, cw up to 32768): same rows as
     # 4/5 but the w byte holds all 8 bits of (col % cw) >> 7 and there
     # is NO valid flag — the kernel forces half-B sublane 7 (the 0xF
@@ -1329,7 +1372,7 @@ _PAIR_LAYOUTS = {
     8: (40, 0, 8, 10, 12, 20, 22, 24),
     9: (24, None, 0, 2, None, 4, 6, 8),
 }
-_WIDE_PAIR_LAYOUTS = frozenset({8, 9})
+_WIDE_PAIR_LAYOUTS = frozenset({8, 9, 11})
 
 # oct-shared S-table layouts (packer mode 6): EIGHT tiles share one 6-bit
 # S-table (nibble rows + two bit planes; code = tile*8 + sublane, 63 =
@@ -1456,6 +1499,12 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
                 xg = jnp.where(m4 == q, cand, xg)
             if voff is None:
                 vals = jnp.ones((8, 128), jnp.float32)
+            elif isinstance(voff, tuple):
+                kind, row = voff
+                word = fr(row, row + 8)
+                bits = (word & jnp.int32(-65536) if kind == "hi"
+                        else word << 16)
+                vals = lax.bitcast_convert_type(bits, jnp.float32)
             else:
                 vals = lax.bitcast_convert_type(fr(voff, voff + 8),
                                                 jnp.float32)

@@ -1027,3 +1027,56 @@ def test_manual_dma_apply_matches_pipelined():
             fmt, x, op_mul=lambda u, v: u + v, op_add=jnp.minimum,
             identity=np.inf))
         assert np.array_equal(am, bm)
+
+
+def test_fused_bf16a_layouts_vs_rounded_oracle():
+    # layouts 10/11 (bf16-A values merged into one 8-row block): must
+    # match scipy with the SAME round-to-nearest-even applied to the
+    # values; x / products / accumulation stay f32
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays, fused_cell_spmv_apply)
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(13)
+    m, n = 2100, 1900
+    a = sp.random(m, n, density=0.02, random_state=13, dtype=np.float32)
+    coo = a.tocoo()
+    rows = coo.row.astype(np.int32)
+    cols = coo.col.astype(np.int32)
+    x = (rng.random(n, dtype=np.float32) + 0.25).astype(np.float32)
+
+    u = coo.data.view(np.uint32)
+    rounded = (((u + np.uint32(0x7FFF) + ((u >> 16) & 1))
+                & np.uint32(0xFFFF0000)).view(np.float32))
+    ref = sp.csr_matrix((rounded, (rows, cols)), shape=(m, n)) @ x
+
+    for cw, want_layout in ((1024, 10), (32768, 11)):
+        fmt = build_fused_cell_spmv_arrays(
+            m, n, rows, cols, coo.data, cw=cw, values_bf16=True)
+        assert fmt is not None and fmt.layout == want_layout
+        out = np.asarray(fused_cell_spmv_apply(
+            fmt, jnp.asarray(x), op_mul=lambda a_, b_: a_ * b_,
+            op_add=jnp.add, identity=0.0))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    # min-plus over bf16-rounded weights (SSSP-class semiring)
+    inf = np.float32(3.0e38)
+    fmt = build_fused_cell_spmv_arrays(
+        m, n, rows, cols, coo.data, cw=1024, values_bf16=True)
+    o = np.asarray(fused_cell_spmv_apply(
+        fmt, jnp.asarray(x), op_mul=lambda a_, b_: a_ + b_,
+        op_add=jnp.minimum, identity=inf))
+    A = sp.csr_matrix((rounded, (rows, cols)), shape=(m, n))
+    refm = np.full(m, inf, np.float32)
+    Ac = A.tocoo()
+    np.minimum.at(refm, Ac.row, Ac.data.astype(np.float32) + x[Ac.col])
+    got_rows = np.unique(Ac.row)
+    np.testing.assert_allclose(o[got_rows], refm[got_rows], rtol=1e-6)
+
+    # misuse guards
+    with pytest.raises(ValueError):
+        build_fused_cell_spmv_arrays(m, n, rows, cols, coo.data,
+                                     cw=1024, pattern=True,
+                                     values_bf16=True)

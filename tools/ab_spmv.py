@@ -32,7 +32,8 @@ def main():
     ap.add_argument("--cw", type=int, default=0,
                     help="window width; 0 = variant default")
     ap.add_argument("--variant", default="pair",
-                    choices=["pair", "oct", "wide", "flat", "two"])
+                    choices=["pair", "oct", "wide", "flat", "two",
+                             "bf16", "bf16w"])
     ap.add_argument("--manual", type=int, default=0,
                     help="manual-DMA slot count; 0 = Mosaic pipeline")
     ap.add_argument("--iters", type=int, default=100)
@@ -64,6 +65,12 @@ def main():
     elif args.variant == "two":
         cw = cw or 16384
         kw = dict(two_choice=True)
+    elif args.variant == "bf16":
+        cw = cw or 16384
+        kw = dict(values_bf16=True)
+    elif args.variant == "bf16w":
+        cw = cw or 32768
+        kw = dict(values_bf16=True)
 
     t0 = time.perf_counter()
     fmt = S.build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=cw, **kw)
@@ -95,8 +102,15 @@ def main():
     ref = None
     if os.environ.get("SPLA_AB_CHECK") == "1":
         import scipy.sparse as sp
-        A = sp.coo_matrix((np.asarray(vals), (np.asarray(rows),
-                                              np.asarray(cols))),
+        data = np.asarray(vals)
+        if args.variant.startswith("bf16"):
+            # round BEFORE duplicate summing: the kernel rounds each
+            # packed slot, then accumulates in f32
+            u = data.view(np.uint32)
+            data = (((u + np.uint32(0x7FFF) + ((u >> 16) & 1))
+                     & np.uint32(0xFFFF0000)).view(np.float32))
+        A = sp.coo_matrix((data, (np.asarray(rows),
+                                  np.asarray(cols))),
                           shape=(n, n)).tocsr()
         got = np.asarray(
             S.fused_cell_spmv_apply(fmt, x, op_mul=_mult, op_add=jnp.add,
