@@ -100,6 +100,9 @@ def main():
     ap.add_argument("--big", action="store_true",
                     help="HBM-scale SpMV entry only (134M edges)")
     args = ap.parse_args()
+    from bench import enable_compile_cache
+
+    enable_compile_cache()
     if args.big:
         bench_big_spmv()
         return
