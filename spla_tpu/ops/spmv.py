@@ -99,29 +99,89 @@ def masked_spmv_structural(
     return reached
 
 
+# ---------------------------------------------------------------------------
+# Accelerated dispatch (reference Dispatcher parity).
+#
+# The reference prefers the accelerated registration for EVERY dispatched op
+# ("key__cl" before "key__cpu", ``src/core/dispatcher.cpp:42-85``) unless
+# ``set_force_no_acceleration``.  The equivalent here: the public
+# ``mxv_masked`` / ``vxm_masked`` entry points route to the Pallas fused
+# monoid kernels when (a) running on TPU (or dispatch is forced for
+# interpret-mode testing), (b) the call is eager (no tracers — inside a
+# user jit the XLA path participates in the caller's fusion instead), and
+# (c) the semiring gates pass; otherwise they fall back to the XLA
+# gather+segment path (the CPU reference backend role).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from ..formats import WeakIdCache as _WeakIdCache
+
+_DISPATCH_CACHE = _WeakIdCache()
+
+# observability: which path each public-op dispatch took (reference analog:
+# the dispatcher's per-key log lines, dispatcher.cpp:51-59).  Tests assert
+# on these; bench_suite reports them.
+DISPATCH_STATS = {"mxv_pallas": 0, "mxv_xla": 0, "vxm_pallas": 0, "vxm_xla": 0}
+
+
+def _accel_enabled() -> bool:
+    if _os.environ.get("SPLA_NO_PALLAS"):
+        return False
+    if _os.environ.get("SPLA_FORCE_PALLAS_DISPATCH"):
+        # testing hook: exercise the dispatch wiring via interpret-mode
+        # Pallas on CPU (reference analog: compiling the gtest main with
+        # a chosen platform id, tests/test_common.hpp:66-89)
+        return True
+    try:
+        from ..library import get_library
+
+        return get_library().is_accelerated()
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _has_tracer(*trees) -> bool:
+    return any(
+        isinstance(leaf, jax.core.Tracer)
+        for tree in trees
+        for leaf in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def _pallas_fn(A: CsrMatrix, op_mul, op_add, init):
+    """Accelerated unmasked-SpMV callable ``f(A, x) -> vals`` or None.
+
+    Formats are cached per matrix (weak-id, dies with A.values); kernel
+    jit caching is keyed on the stable op ``fn`` objects."""
+    try:
+        from ..pallas.spmv import pallas_spmv_fn, pallas_spmv_fn_int
+    except ImportError:  # pragma: no cover
+        return None
+    try:
+        fn = pallas_spmv_fn(A, op_mul, op_add, init)
+        if fn is None:
+            # int32/uint32 semirings via the exact f32 embedding
+            fn = pallas_spmv_fn_int(A, op_mul, op_add, init)
+        return fn
+    except Exception as e:  # defensive: a packer/kernel failure must
+        # degrade to the reference path, as the reference dispatcher
+        # degrades CL build errors (dispatcher.cpp:66-79)
+        from ..library import log_msg
+
+        log_msg("Error", f"pallas dispatch failed, using XLA path: {e}")
+        return None
+
+
 def best_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     """Return the fastest available unmasked-SpMV callable
     ``f(A, x) -> vals`` for this matrix/semiring: the Pallas TPU kernel
-    when running on TPU hardware and the semiring is covered, else the
-    XLA gather+segment path (which is also the CPU reference backend)."""
-    try:
-        import jax
-
-        on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    if on_tpu:
-        try:
-            from ..pallas.spmv import pallas_spmv_fn, pallas_spmv_fn_int
-
-            fn = pallas_spmv_fn(A, op_mul, op_add, init)
-            if fn is None:
-                # int32/uint32 semirings via the exact f32 embedding
-                fn = pallas_spmv_fn_int(A, op_mul, op_add, init)
-            if fn is not None:
-                return fn
-        except ImportError:
-            pass
+    when dispatch is enabled and the semiring is covered, else the XLA
+    gather+segment path (which is also the CPU reference backend)."""
+    if _accel_enabled():
+        fn = _pallas_fn(A, op_mul, op_add, init)
+        if fn is not None:
+            return fn
 
     def xla_fn(A, x):
         out, _ = masked_spmv(A, x, op_mul, op_add, init)
@@ -130,7 +190,127 @@ def best_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     return xla_fn
 
 
-@partial(jax.jit, static_argnames=("op_mul", "op_add", "op_select", "desc"))
+def _structural_hits_fn(A: CsrMatrix):
+    """``f(x01 f32) -> bool[m]`` via the structural (pattern) Pallas
+    kernel: hits[i] = any stored (i, j) with x01[j] != 0.  None when no
+    packed structural format is available."""
+    try:
+        from ..pallas.spmv import get_best_monoid_format
+    except ImportError:  # pragma: no cover
+        return None
+    try:
+        fmt, apply_fn = get_best_monoid_format(A, structural=True)
+    except Exception:
+        return None
+    if fmt is None:
+        return None
+
+    def hits(x01, fmt=fmt, apply_fn=apply_fn):
+        return apply_fn(fmt, x01, op_mul=_mul_stable, op_add=jnp.maximum,
+                        identity=0.0) > 0
+
+    return hits
+
+
+def _mul_stable(a, b):
+    return a * b
+
+
+# vxm absorb table: dense-x slot value for UNSTORED v entries such that
+# every product op_mul(v', M_ij) equals the op_add identity — the input-
+# validity mask the XLA path threads through ``x_valid`` expressed as a
+# value (the Pallas kernels have no validity operand).  Keyed by
+# (mul name, op_add.scatter kind).  Requires finite matrix values (e.g.
+# inf * 0 = nan); gated by `_matrix_finite`.
+_VXM_ABSORB = {
+    ("MULT", "add"): 0.0,
+    ("FIRST", "add"): 0.0,
+    ("FIRST", "min"): float("inf"),
+    ("FIRST", "max"): float("-inf"),
+    ("PLUS", "min"): float("inf"),
+    ("PLUS", "max"): float("-inf"),
+    ("MIN", "max"): float("-inf"),
+    ("MAX", "min"): float("inf"),
+}
+
+# vxm computes mul(v[i], M[i,j]) but the kernels compute mul(M_ij, x_i):
+# commutative muls pass through; FIRST/SECOND swap names; anything else
+# falls back to the XLA path (no absorb entry anyway).
+_SWAPPED_MUL_CACHE: dict = {}
+
+
+def _swapped_mul(op_mul):
+    if op_mul is None or getattr(op_mul, "commutative", False):
+        return op_mul
+    got = _SWAPPED_MUL_CACHE.get(op_mul)
+    if got is None:
+        from types import SimpleNamespace
+
+        name = getattr(op_mul, "name", "?")
+        sname = {"FIRST": "SECOND", "SECOND": "FIRST"}.get(name, f"SW_{name}")
+        raw = getattr(op_mul, "fn", op_mul)
+
+        def sfn(a, b, raw=raw):
+            return raw(b, a)
+
+        got = SimpleNamespace(name=sname, fn=sfn, commutative=False)
+        _SWAPPED_MUL_CACHE[op_mul] = got
+    return got
+
+
+def _matrix_finite(A: CsrMatrix) -> bool:
+    """Cached host check that A's stored values are all finite (one D2H
+    per matrix; the packed formats pull the same arrays anyway)."""
+    got = _DISPATCH_CACHE.get(A.values, ("finite",))
+    if got is None:
+        import numpy as np
+
+        from ..formats import host_coo
+
+        _, _, vals = host_coo(A)
+        got = bool(np.isfinite(vals).all())
+        _DISPATCH_CACHE.put(A.values, got, ("finite",))
+    return got
+
+
+@partial(jax.jit, static_argnames=("op_select",))
+def _mxv_mask_post(vals, mask_vals, op_select, init):
+    sel = op_select(mask_vals)
+    return DenseVec(jnp.where(sel, vals, init), init)
+
+
+@partial(jax.jit, static_argnames=("op_select", "cap", "n_out"))
+def _vxm_post(out_vals, hits, mask_vals, op_select, init, cap, n_out):
+    has = hits & op_select(mask_vals)
+    out = jnp.where(has, out_vals, init)
+    (idx,) = jnp.nonzero(has, size=cap, fill_value=n_out)
+    vals = jnp.where(idx < n_out, out[jnp.clip(idx, 0, n_out - 1)], init)
+    nnz = jnp.minimum(jnp.sum(has).astype(jnp.int32), jnp.int32(cap))
+    return SparseVec(n=n_out, indices=idx.astype(jnp.int32), values=vals,
+                     nnz=nnz, fill=init)
+
+
+@partial(jax.jit, static_argnames=("n_in",))
+def _vxm_dense_x_sparse(v: SparseVec, n_in, absorb):
+    """Dense (x, active) from a SparseVec with unstored slots = absorb."""
+    valid = v.valid_mask()
+    base = jnp.full((n_in + 1,), absorb, v.values.dtype)
+    x = base.at[v.indices].set(jnp.where(valid, v.values, absorb),
+                               mode="drop")[:n_in]
+    active = (
+        jnp.zeros((n_in + 1,), jnp.bool_)
+        .at[v.indices]
+        .set(valid, mode="drop")[:n_in]
+    )
+    return x, active
+
+
+@jax.jit
+def _vxm_dense_x_dense(v: DenseVec, absorb):
+    active = v.stored_mask()
+    return jnp.where(active, v.values, absorb), active
+
+
 def mxv_masked(
     mask: DenseVec,
     M: CsrMatrix,
@@ -143,7 +323,33 @@ def mxv_masked(
 ) -> DenseVec:
     """Pull SpMV: dense result over dense v (reference exec_mxv_masked,
     ``include/spla/exec.hpp:157-186``).  ``early_exit`` is advisory on TPU
-    (results identical for idempotent accumulators)."""
+    (results identical for idempotent accumulators).
+
+    Dispatches to the Pallas fused monoid kernel when accelerated (the
+    reference's ``__cl``-preference, ``dispatcher.cpp:42-85``); the mask
+    select is applied to the kernel's dense output."""
+    if _accel_enabled() and not _has_tracer(mask, M, v, init):
+        fn = _pallas_fn(M, op_mul, op_add, init)
+        if fn is not None:
+            DISPATCH_STATS["mxv_pallas"] += 1
+            init_a = _scalar(init, M.values.dtype)
+            vals = fn(M, v.values)
+            return _mxv_mask_post(vals, mask.values, op_select, init_a)
+    DISPATCH_STATS["mxv_xla"] += 1
+    return _mxv_masked_xla(mask, M, v, op_mul, op_add, op_select, init, desc)
+
+
+@partial(jax.jit, static_argnames=("op_mul", "op_add", "op_select", "desc"))
+def _mxv_masked_xla(
+    mask: DenseVec,
+    M: CsrMatrix,
+    v: DenseVec,
+    op_mul,
+    op_add,
+    op_select,
+    init,
+    desc=None,
+) -> DenseVec:
     init_a = _scalar(init, M.values.dtype)
     out, _ = masked_spmv(
         M,
@@ -158,8 +364,70 @@ def mxv_masked(
     return DenseVec(out, init_a)
 
 
-@partial(jax.jit, static_argnames=("op_mul", "op_add", "op_select", "desc", "out_capacity"))
 def vxm_masked(
+    mask: DenseVec,
+    v,
+    M_t: CsrMatrix,
+    op_mul,
+    op_add,
+    op_select,
+    init,
+    desc=None,
+    out_capacity: int | None = None,
+) -> SparseVec:
+    """Push SpMV r = v x M (see :func:`_vxm_masked_xla` for semantics).
+
+    Accelerated dispatch: when the (mul, add) pair has an absorbing input
+    value (``_VXM_ABSORB``) and the matrix is finite, the value pass runs
+    the Pallas fused kernel over a dense x whose unstored slots hold the
+    absorb value, and structural stored-ness comes from the structural
+    (pattern) kernel — two Pallas SpMVs instead of the XLA gather+
+    sort-free segment pipeline (reference 3-phase ``cl_vxm.hpp:73-177``)."""
+    if _accel_enabled() and not _has_tracer(mask, v, M_t, init):
+        r = _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
+                             out_capacity)
+        if r is not None:
+            DISPATCH_STATS["vxm_pallas"] += 1
+            return r
+    DISPATCH_STATS["vxm_xla"] += 1
+    return _vxm_masked_xla(mask, v, M_t, op_mul, op_add, op_select, init,
+                           desc, out_capacity)
+
+
+def _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
+                     out_capacity):
+    kind = getattr(op_add, "scatter", None)
+    mul_name = "MULT" if op_mul is None else getattr(op_mul, "name", None)
+    absorb = _VXM_ABSORB.get((mul_name, kind))
+    if absorb is None:
+        return None
+    if M_t.values.dtype != jnp.float32:
+        return None  # int path: absorb values exceed the f32-embedding gate
+    kmul = _swapped_mul(op_mul)
+    fn = _pallas_fn(M_t, kmul, op_add, init)
+    if fn is None:
+        return None
+    hits_fn = _structural_hits_fn(M_t)
+    if hits_fn is None:
+        return None
+    if not _matrix_finite(M_t):
+        return None
+    n_out, n_in = M_t.shape
+    init_a = _scalar(init, M_t.values.dtype)
+    absorb_a = jnp.asarray(absorb, M_t.values.dtype)
+    if isinstance(v, SparseVec):
+        x, active = _vxm_dense_x_sparse(v, n_in, absorb_a)
+    else:
+        x, active = _vxm_dense_x_dense(v, absorb_a)
+    out_vals = fn(M_t, x)
+    hits = hits_fn(active.astype(jnp.float32))
+    cap = out_capacity if out_capacity is not None else n_out
+    return _vxm_post(out_vals, hits, mask.values, op_select, init_a, cap,
+                     n_out)
+
+
+@partial(jax.jit, static_argnames=("op_mul", "op_add", "op_select", "desc", "out_capacity"))
+def _vxm_masked_xla(
     mask: DenseVec,
     v,
     M_t: CsrMatrix,

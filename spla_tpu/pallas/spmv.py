@@ -2468,6 +2468,33 @@ def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
     return out.reshape(-1)[: fmt.m]
 
 
+def split_fused_format(fmt: FusedCellSpmv, parts: int = 2):
+    """Split a fused format into ``parts`` tile-range sub-formats (cut at
+    K-batch boundaries).  Each sub-format covers a disjoint tile range but
+    the FULL output; applying all parts and combining with op_add
+    reproduces the whole SpMV.  Built for the round-4 concurrency probe:
+    can XLA overlap two pallas_calls' DMA streams where the Mosaic grid
+    pipeline serializes them?  (VERDICT r3 item 5.)"""
+    nb = fmt.n_tiles // FUSED_K
+    upb = _FBLOCK[fmt.layout][0]  # fused leading-dim entries per K-batch
+    out = []
+    for p in range(parts):
+        b0 = nb * p // parts
+        b1 = nb * (p + 1) // parts
+        if b0 == b1:
+            continue
+        out.append(FusedCellSpmv(
+            m=fmt.m, n=fmt.n, cw=fmt.cw, n_row_blocks=fmt.n_row_blocks,
+            n_tiles=(b1 - b0) * FUSED_K,
+            fused=fmt.fused[b0 * upb: b1 * upb],
+            rb_of_tile=fmt.rb_of_tile[b0 * FUSED_K: b1 * FUSED_K],
+            wb_of_batch=fmt.wb_of_batch[b0:b1],
+            slots=(b1 - b0) * FUSED_K * TILE, nnz=fmt.nnz,
+            layout=fmt.layout, ow_of_batch=None,
+        ))
+    return out
+
+
 def get_fused_format(A: CsrMatrix, cw: int | None = None):
     """Cached fused routeless layout of A (None without the native packer
     or past the resident-output cap).  cw=None picks narrow vs WIDE

@@ -114,8 +114,38 @@ def dist_pagerank(mesh: Mesh, A: ShardedCsr, alpha, eps, axis="d"):
     )
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards"))
-def _dist_bfs_impl(mesh, arrs, source, n, mloc, n_shards, axis):
+# -- sparse-frontier halo exchange ------------------------------------------
+#
+# The round-3 verdict's efficiency gap: a full all_gather moves O(n) bytes
+# per level even when the frontier holds one vertex (road-class graphs run
+# thousands of near-empty levels).  The exchange below is CAPPED-SPARSE:
+# each shard compacts its frontier to <= cap (index, value) pairs and the
+# mesh all-gathers S*cap pairs instead of the dense vector; when ANY shard
+# overflows the cap (pmax-uniform predicate, so every chip takes the same
+# branch), the level falls back to the dense gather — the comm-side analog
+# of the reference's push/pull direction optimization over frontier
+# density (``src/algorithm.cpp:93-100``).  Stats carries count logical
+# gather bytes so the virtual mesh validates comm VOLUME even where its
+# timings are meaningless (BENCH.md "Multi-chip").
+
+
+def _bfs_sparse_exchange(front, my, mloc, cap, axis):
+    """bool[mloc] -> bool[S*mloc] via an index all-gather of <= cap
+    frontier vertices per shard."""
+    n_pad_axis = lax.axis_size(axis) * mloc
+    (idx,) = jnp.nonzero(front, size=cap, fill_value=mloc)
+    gidx = jnp.where(idx < mloc, my * mloc + idx.astype(jnp.int32), n_pad_axis)
+    all_idx = lax.all_gather(gidx.astype(jnp.int32), axis, tiled=True)
+    return (
+        jnp.zeros((n_pad_axis + 1,), jnp.bool_)
+        .at[all_idx]
+        .set(True, mode="drop")[:n_pad_axis]
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards",
+                                   "cap"))
+def _dist_bfs_impl(mesh, arrs, source, n, mloc, n_shards, axis, cap):
     def step(*arrs):
         a = CsrMatrix(
             shape=(mloc, n_shards * mloc),
@@ -134,33 +164,98 @@ def _dist_bfs_impl(mesh, arrs, source, n, mloc, n_shards, axis):
             return (state[3] > 0) & (state[2] <= n)
 
         def body(state):
-            v, front, depth, _ = state
+            v, front, depth, _, comm, sp = state
             v = jnp.where(front, depth, v)
-            front_full = lax.all_gather(front, axis, tiled=True)
+            if cap > 0:
+                maxcnt = lax.pmax(jnp.sum(front).astype(jnp.int32), axis)
+                use_sparse = maxcnt <= cap
+                front_full = lax.cond(
+                    use_sparse,
+                    lambda f: _bfs_sparse_exchange(f, my, mloc, cap, axis),
+                    lambda f: lax.all_gather(f, axis, tiled=True),
+                    front,
+                )
+                # float32 accumulator: int32 would overflow past ~2 GB
+                comm = comm + jnp.where(
+                    use_sparse,
+                    jnp.float32(n_shards * cap * 4),
+                    jnp.float32(n_shards * mloc),
+                )
+                sp = sp + use_sparse.astype(jnp.int32)
+            else:
+                front_full = lax.all_gather(front, axis, tiled=True)
+                comm = comm + jnp.float32(n_shards * mloc)
             front_new = masked_spmv_structural(a, front_full, v == 0)
             count = lax.psum(jnp.sum(front_new).astype(jnp.int32), axis)
-            return (v, front_new, depth + 1, count)
+            return (v, front_new, depth + 1, count, comm, sp)
 
-        v, _, _, _ = lax.while_loop(
-            cond, body, (v0, front0, jnp.int32(1), jnp.int32(1))
+        v, _, depth, _, comm, sp = lax.while_loop(
+            cond, body,
+            (v0, front0, jnp.int32(1), jnp.int32(1), jnp.float32(0),
+             jnp.int32(0)),
         )
-        return v[None]
+        return v[None], comm[None], sp[None], (depth - 1)[None]
 
-    f = jax.shard_map(step, mesh=mesh, in_specs=_ARR_SPECS, out_specs=P(axis))
+    f = jax.shard_map(
+        step, mesh=mesh, in_specs=_ARR_SPECS,
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
     return f(*arrs)
 
 
-def dist_bfs(mesh: Mesh, At: ShardedCsr, source, axis="d"):
+def dist_bfs(mesh: Mesh, At: ShardedCsr, source, axis="d",
+             frontier_cap: int | None = None, with_stats: bool = False):
     """Distributed BFS over the transpose-sharded adjacency: frontier
-    all-gathered each level (the halo exchange); depths row-sharded."""
-    return _dist_bfs_impl(
+    exchanged per level via the capped-sparse index gather (halo
+    exchange), dense gather past the cap; depths row-sharded.
+
+    ``frontier_cap``: per-shard sparse-exchange capacity (None = mloc/4,
+    0 = always dense).  ``with_stats``: also return
+    ``{"comm_bytes", "sparse_levels", "levels"}`` (logical gather bytes)."""
+    if frontier_cap is None:
+        frontier_cap = max(At.mloc // 4, 1)
+    v, comm, sp, lev = _dist_bfs_impl(
         mesh, _arrays(At), jnp.asarray(source, jnp.int32),
-        At.shape[0], At.mloc, At.n_shards, axis,
+        At.shape[0], At.mloc, At.n_shards, axis, frontier_cap,
     )
+    if not with_stats:
+        return v
+    stats = {
+        "comm_bytes": int(comm[0]),
+        "sparse_levels": int(sp[0]),
+        "levels": int(lev[0]),
+    }
+    return v, stats
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards"))
-def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis):
+def _sssp_sparse_exchange(v, changed, my, mloc, cap, axis, inf):
+    """(f32[mloc], bool[mloc]) -> (f32[S*mloc], bool[S*mloc]) carrying
+    only the <= cap CHANGED entries per shard (the feedback vector is the
+    sparse payload; unchanged slots arrive as +inf, the min-plus
+    absorbing input, so products from them cannot contribute)."""
+    n_pad_axis = lax.axis_size(axis) * mloc
+    (idx,) = jnp.nonzero(changed, size=cap, fill_value=mloc)
+    live = idx < mloc
+    gidx = jnp.where(live, my * mloc + idx.astype(jnp.int32), n_pad_axis)
+    gval = jnp.where(live, v[jnp.clip(idx, 0, mloc - 1)], inf)
+    all_idx = lax.all_gather(gidx.astype(jnp.int32), axis, tiled=True)
+    all_val = lax.all_gather(gval, axis, tiled=True)
+    v_full = (
+        jnp.full((n_pad_axis + 1,), inf)
+        .at[all_idx]
+        .set(all_val, mode="drop")[:n_pad_axis]
+    )
+    valid_full = (
+        jnp.zeros((n_pad_axis + 1,), jnp.bool_)
+        .at[all_idx]
+        .set(True, mode="drop")[:n_pad_axis]
+    )
+    return v_full, valid_full
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards",
+                                   "cap"))
+def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis, cap):
     inf = jnp.float32(jnp.inf)
 
     def step(*arrs):
@@ -178,10 +273,35 @@ def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis):
             # Bellman-Ford bound: at most n relaxation rounds
             return (state[2] > 0) & (state[3] <= n)
 
+        def dense_exchange(v, changed):
+            return (
+                lax.all_gather(v, axis, tiled=True),
+                lax.all_gather(changed, axis, tiled=True),
+            )
+
         def body(state):
-            v, fdb_valid, _, it = state
-            v_full = lax.all_gather(v, axis, tiled=True)
-            valid_full = lax.all_gather(fdb_valid, axis, tiled=True)
+            v, fdb_valid, _, it, comm, sp = state
+            if cap > 0:
+                maxcnt = lax.pmax(
+                    jnp.sum(fdb_valid).astype(jnp.int32), axis
+                )
+                use_sparse = maxcnt <= cap
+                v_full, valid_full = lax.cond(
+                    use_sparse,
+                    lambda vv, ch: _sssp_sparse_exchange(
+                        vv, ch, my, mloc, cap, axis, inf),
+                    dense_exchange,
+                    v, fdb_valid,
+                )
+                comm = comm + jnp.where(
+                    use_sparse,
+                    jnp.float32(n_shards * cap * 8),
+                    jnp.float32(n_shards * mloc * 5),
+                )
+                sp = sp + use_sparse.astype(jnp.int32)
+            else:
+                v_full, valid_full = dense_exchange(v, fdb_valid)
+                comm = comm + jnp.float32(n_shards * mloc * 5)
             frontier, _ = masked_spmv(
                 a, v_full, lambda aa, xx: xx + aa, OP.MIN_FLOAT, inf,
                 x_valid=valid_full,
@@ -189,21 +309,38 @@ def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis):
             new_v = jnp.minimum(v, frontier)
             changed = new_v != v
             count = lax.psum(jnp.sum(changed).astype(jnp.int32), axis)
-            return (new_v, changed, count, it + 1)
+            return (new_v, changed, count, it + 1, comm, sp)
 
-        v, _, _, _ = lax.while_loop(
-            cond, body, (v0, is_src, jnp.int32(1), jnp.int32(1))
+        v, _, _, it, comm, sp = lax.while_loop(
+            cond, body,
+            (v0, is_src, jnp.int32(1), jnp.int32(1), jnp.float32(0),
+             jnp.int32(0)),
         )
-        return v[None]
+        return v[None], comm[None], sp[None], (it - 1)[None]
 
-    f = jax.shard_map(step, mesh=mesh, in_specs=_ARR_SPECS, out_specs=P(axis))
+    f = jax.shard_map(
+        step, mesh=mesh, in_specs=_ARR_SPECS,
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
     return f(*arrs)
 
 
-def dist_sssp(mesh: Mesh, At: ShardedCsr, source, axis="d"):
-    """Distributed SSSP: min-plus relaxation, feedback mask all-gathered
-    per round."""
-    return _dist_sssp_impl(
+def dist_sssp(mesh: Mesh, At: ShardedCsr, source, axis="d",
+              frontier_cap: int | None = None, with_stats: bool = False):
+    """Distributed SSSP: min-plus relaxation; the feedback (changed)
+    vector is exchanged per round via the capped-sparse (index, value)
+    gather, dense past the cap (see the exchange note above)."""
+    if frontier_cap is None:
+        frontier_cap = max(At.mloc // 4, 1)
+    v, comm, sp, it = _dist_sssp_impl(
         mesh, _arrays(At), jnp.asarray(source, jnp.int32),
-        At.shape[0], At.mloc, At.n_shards, axis,
+        At.shape[0], At.mloc, At.n_shards, axis, frontier_cap,
     )
+    if not with_stats:
+        return v
+    stats = {
+        "comm_bytes": int(comm[0]),
+        "sparse_rounds": int(sp[0]),
+        "rounds": int(it[0]),
+    }
+    return v, stats

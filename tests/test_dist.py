@@ -263,3 +263,68 @@ def test_format_cache_no_id_aliasing():
     A2 = F.csr_from_scipy(a2)
     f2 = get_cell_format(A2, cw=1024)
     assert f2.m == 60  # freshly built for A2, never f1
+
+
+def test_dist_bfs_sparse_exchange_stats(mesh):
+    """Capped-sparse frontier exchange (round-4): a path graph runs many
+    near-empty levels — the sparse gather must cut comm volume by orders
+    of magnitude while producing identical depths."""
+    n = 160  # path: n-1 levels of frontier size 1
+    rows = np.arange(n - 1)
+    cols = np.arange(1, n)
+    A = sp.coo_matrix(
+        (np.ones(2 * (n - 1), np.float32),
+         (np.concatenate([rows, cols]), np.concatenate([cols, rows]))),
+        shape=(n, n),
+    ).tocsr()
+    sc = shard_csr_by_rows(F.csr_from_scipy(A), 8, mesh)
+    v_dense, st_dense = dist_bfs(mesh, sc, 0, frontier_cap=0,
+                                 with_stats=True)
+    v_sparse, st_sparse = dist_bfs(mesh, sc, 0, frontier_cap=4,
+                                   with_stats=True)
+    np.testing.assert_array_equal(np.asarray(v_sparse), np.asarray(v_dense))
+    assert st_sparse["sparse_levels"] == st_sparse["levels"]
+    assert st_dense["sparse_levels"] == 0
+    # path frontier = 1 vertex: sparse gather is S*cap*4 = 128 B/level vs
+    # S*mloc = 160 B/level dense — and the gap grows with n while the
+    # sparse side stays constant
+    assert st_sparse["comm_bytes"] < st_dense["comm_bytes"]
+
+
+def test_dist_bfs_sparse_cap_overflow_fallback(mesh):
+    """When a level overflows the cap every chip must fall back to the
+    dense gather in lockstep and the result must be unchanged (a star
+    graph has one huge level)."""
+    n = 120
+    hub = 0
+    spokes = np.arange(1, n)
+    A = sp.coo_matrix(
+        (np.ones(2 * (n - 1), np.float32),
+         (np.concatenate([np.full(n - 1, hub), spokes]),
+          np.concatenate([spokes, np.full(n - 1, hub)]))),
+        shape=(n, n),
+    ).tocsr()
+    adj = [A.indices[A.indptr[i]: A.indptr[i + 1]].tolist()
+           for i in range(n)]
+    sc = shard_csr_by_rows(F.csr_from_scipy(A.astype(np.int32)), 8, mesh)
+    v, st = dist_bfs(mesh, sc, 0, frontier_cap=2, with_stats=True)
+    np.testing.assert_array_equal(
+        np.asarray(v).ravel()[:n], bfs_naive(adj, 0)
+    )
+    assert st["sparse_levels"] < st["levels"]  # the big level went dense
+
+
+def test_dist_sssp_sparse_exchange_matches(mesh):
+    n = 100
+    A = random_undirected(n, 6, 11, weighted=True)
+    adj = [A.indices[A.indptr[i]: A.indptr[i + 1]].tolist()
+           for i in range(n)]
+    w = [A.data[A.indptr[i]: A.indptr[i + 1]].tolist() for i in range(n)]
+    sc = shard_csr_by_rows(F.csr_from_scipy(A), 8, mesh)
+    v_dense = np.asarray(dist_sssp(mesh, sc, 0, frontier_cap=0)).ravel()[:n]
+    v_sp, st = dist_sssp(mesh, sc, 0, frontier_cap=6, with_stats=True)
+    v_sp = np.asarray(v_sp).ravel()[:n]
+    np.testing.assert_allclose(v_sp, v_dense, rtol=1e-6)
+    expect = sssp_naive(adj, w, 0)
+    np.testing.assert_allclose(v_sp, expect, rtol=1e-5)
+    assert st["sparse_rounds"] >= 1

@@ -123,3 +123,91 @@ def test_bfs_sssp_hw():
     dist = np.asarray(alg.sssp(Ac, 0).values)
     refd = cg.dijkstra(A, indices=0)
     np.testing.assert_allclose(dist[finite], refd[finite], rtol=1e-5)
+
+
+def test_op_layer_dispatch_hw():
+    """Public-op dispatcher parity (reference dispatcher.cpp:42-85): on
+    TPU, ``ops.mxv_masked`` / ``ops.vxm_masked`` execute the Pallas fused
+    kernel and match the XLA reference path."""
+    from spla_tpu import formats as F
+    from spla_tpu import op as OP
+    from spla_tpu.types import FLOAT
+    from spla_tpu.containers import DenseVec, SparseVec
+    from spla_tpu.ops import spmv as S
+
+    A = _graph(n=8000, deg=8, seed=5)
+    rng = np.random.default_rng(7)
+    A.data[:] = rng.random(A.nnz, np.float32)
+    Ac = F.csr_from_scipy(A)
+    At = F.csr_transpose_host(Ac)
+    MULT = OP.lookup("MULT", FLOAT)
+    PLUS = OP.lookup("PLUS", FLOAT)
+    MIN = OP.lookup("MIN", FLOAT)
+    GEZ = OP.lookup("GEZERO", FLOAT)
+    n = A.shape[0]
+    x = DenseVec(jnp.asarray(rng.random(n, np.float32)), jnp.float32(0))
+    mask = DenseVec(
+        jnp.asarray((rng.random(n) > 0.25).astype(np.float32)), jnp.float32(0)
+    )
+
+    before = dict(S.DISPATCH_STATS)
+    r = S.mxv_masked(mask, Ac, x, MULT, PLUS, GEZ, 0.0)
+    assert S.DISPATCH_STATS["mxv_pallas"] == before["mxv_pallas"] + 1
+    ref = S._mxv_masked_xla(mask, Ac, x, MULT, PLUS, GEZ, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(r.values), np.asarray(ref.values), rtol=2e-5, atol=1e-5
+    )
+
+    idx = np.sort(rng.choice(n, 200, replace=False)).astype(np.int32)
+    sv = SparseVec(
+        n=n, indices=jnp.asarray(idx),
+        values=jnp.asarray(rng.random(200, np.float32)),
+        nnz=jnp.int32(200), fill=jnp.float32(0),
+    )
+    before = dict(S.DISPATCH_STATS)
+    rv = S.vxm_masked(mask, sv, At, MULT, PLUS, GEZ, 0.0)
+    assert S.DISPATCH_STATS["vxm_pallas"] == before["vxm_pallas"] + 1
+    rr = S._vxm_masked_xla(mask, sv, At, MULT, PLUS, GEZ, 0.0)
+    k, kr = int(np.asarray(rv.nnz)), int(np.asarray(rr.nnz))
+    assert k == kr
+    np.testing.assert_array_equal(
+        np.asarray(rv.indices)[:k], np.asarray(rr.indices)[:kr]
+    )
+    np.testing.assert_allclose(
+        np.asarray(rv.values)[:k], np.asarray(rr.values)[:kr],
+        rtol=2e-5, atol=1e-5,
+    )
+
+    # min-plus (SSSP semiring) through the same public entry
+    w = DenseVec(jnp.asarray(rng.random(n, np.float32) + 0.5), jnp.float32(jnp.inf))
+    before = dict(S.DISPATCH_STATS)
+    rm = S.vxm_masked(mask, w, At, PLUS, MIN, GEZ, float("inf"))
+    assert S.DISPATCH_STATS["vxm_pallas"] == before["vxm_pallas"] + 1
+    rmr = S._vxm_masked_xla(mask, w, At, PLUS, MIN, GEZ, float("inf"))
+    k = int(np.asarray(rm.nnz))
+    assert k == int(np.asarray(rmr.nnz))
+    np.testing.assert_allclose(
+        np.asarray(rm.values)[:k], np.asarray(rmr.values)[:k],
+        rtol=2e-5, atol=1e-5,
+    )
+
+
+def test_facade_dispatch_hw():
+    """Matrix.mxv / Vector.vxm (the pyspla-parity surface) reach the
+    Pallas kernel end to end on TPU."""
+    from spla_tpu import facade as fc
+    from spla_tpu.ops import spmv as S
+
+    A = _graph(n=5000, deg=6, seed=8)
+    coo = A.tocoo()
+    M = fc.Matrix.from_lists(
+        coo.row.tolist(), coo.col.tolist(), coo.data.tolist(),
+        shape=A.shape, dtype=fc.FLOAT,
+    )
+    v = fc.Vector.dense(A.shape[1], fc.FLOAT, 1.0)
+    mask = fc.Vector.dense(A.shape[0], fc.FLOAT, 1.0)
+    before = dict(S.DISPATCH_STATS)
+    r = M.mxv(mask, v, fc.FLOAT.MULT, fc.FLOAT.PLUS, fc.FLOAT.GEZERO)
+    assert S.DISPATCH_STATS["mxv_pallas"] == before["mxv_pallas"] + 1
+    ref = A @ np.ones(A.shape[1], np.float32)
+    np.testing.assert_allclose(r.to_numpy(), ref, rtol=2e-5, atol=1e-5)

@@ -33,7 +33,7 @@ def main():
                     help="window width; 0 = variant default")
     ap.add_argument("--variant", default="pair",
                     choices=["pair", "oct", "wide", "flat", "two",
-                             "bf16", "bf16w"])
+                             "bf16", "bf16w", "split2", "split4"])
     ap.add_argument("--manual", type=int, default=0,
                     help="manual-DMA slot count; 0 = Mosaic pipeline")
     ap.add_argument("--iters", type=int, default=100)
@@ -71,6 +71,11 @@ def main():
     elif args.variant == "bf16w":
         cw = cw or 32768
         kw = dict(values_bf16=True)
+    elif args.variant in ("split2", "split4"):
+        # VERDICT r3 item 5: N pallas_calls over disjoint tile ranges,
+        # outputs merged with one elementwise add — does XLA overlap
+        # their DMA streams where one kernel's grid pipeline cannot?
+        cw = cw or 16384
 
     t0 = time.perf_counter()
     fmt = S.build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=cw, **kw)
@@ -87,9 +92,22 @@ def main():
 
     manual = args.manual
 
+    split = None
+    if args.variant.startswith("split"):
+        split = S.split_fused_format(fmt, int(args.variant[-1]))
+        print(f"split into {len(split)} tile ranges: "
+              f"{[f.n_tiles for f in split]}", file=sys.stderr)
+
     @jax.jit
     def step(fmt, y, k):
-        if manual:
+        if split is not None:
+            os_ = [S.fused_cell_spmv_apply(f, y, op_mul=_mult,
+                                           op_add=jnp.add, identity=0.0)
+                   for f in split]
+            o = os_[0]
+            for oi in os_[1:]:
+                o = o + oi
+        elif manual:
             o = S.fused_cell_spmv_apply_manual(fmt, y, _mult, jnp.add, 0.0,
                                                slots=manual)
         else:
