@@ -119,6 +119,15 @@ def _parse_python(path):
     return m, n, rows, cols, vals, sym
 
 
+def _header_skew(path) -> bool:
+    """True when the MatrixMarket banner declares skew-symmetric."""
+    try:
+        with open(path, "rb") as f:
+            return b"skew-symmetric" in f.readline().lower()
+    except OSError:  # pragma: no cover
+        return False
+
+
 @dataclass
 class MtxLoader:
     """Reference-parity loader (``include/spla/io.hpp:47-102``)."""
@@ -155,10 +164,16 @@ class MtxLoader:
             cols = cols - 1
         if sym or make_undirected:
             keep = rows != cols  # do not duplicate diagonal
+            # MatrixMarket skew-symmetric stores the lower triangle of
+            # A = -A^T: the mirrored half carries NEGATED values (the
+            # header keyword is not surfaced by the fast parser, so
+            # detect it from the banner line directly)
+            mirrored = -vals[keep] if (sym and _header_skew(path)) \
+                else vals[keep]
             rows, cols, vals = (
                 np.concatenate([rows, cols[keep]]),
                 np.concatenate([cols, rows[keep]]),
-                np.concatenate([vals, vals[keep]]),
+                np.concatenate([vals, mirrored]),
             )
         if remove_loops:
             keep = rows != cols

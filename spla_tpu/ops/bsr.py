@@ -30,6 +30,11 @@ def bsr_spmv(A: BsrMatrix, x, op_mul=None, op_add=None, init=0.0) -> jax.Array:
     segment sum.  General elementwise ``op_mul`` is applied inside the
     block product only when given (default: MULT, which maps straight to
     ``dot``)."""
+    add_name = getattr(op_add, "name", None)
+    assert op_add is None or add_name == "PLUS", (
+        f"bsr_spmv accumulates PLUS only (got {add_name}); general "
+        "monoids go through the CSR cell kernels (spla_tpu.pallas.spmv)"
+    )
     if isinstance(x, DenseVec):
         x = x.values
     m, n = A.shape

@@ -459,10 +459,12 @@ def _pallas_mxmT_try(mask, A, B, op_mul, op_add, op_select, init_a,
     _, b_cols_h, b_vals_h = host_coo(B)
     a_indptr = np.asarray(A.indptr)
     b_indptr = np.asarray(B.indptr)
-    # columns must be sorted within rows for the chunk staircase
-    if np.any(np.diff(a_cols_h) <= 0) and not _rows_sorted(a_indptr, a_cols_h):
+    # columns must be sorted within rows for the chunk staircase; the
+    # O(nnz) host scan verdict is cached per matrix (weak-id, dies with
+    # the values array) so repeated dispatches don't rescan
+    if not _rows_sorted_cached(A.values, a_indptr, a_cols_h):
         return None
-    if np.any(np.diff(b_cols_h) <= 0) and not _rows_sorted(b_indptr, b_cols_h):
+    if not _rows_sorted_cached(B.values, b_indptr, b_cols_h):
         return None
     if struct_only:
         sel = np.ones(nnz_m, bool)
@@ -543,6 +545,21 @@ def _rows_sorted(indptr, cols):
     heads = np.zeros(nnz, bool)
     heads[indptr[:-1][indptr[:-1] < nnz]] = True
     return bool(np.all(inc | heads[1:]))
+
+
+from ..formats import WeakIdCache as _WeakIdCache  # noqa: E402
+
+_SORTED_CACHE = _WeakIdCache()
+
+
+def _rows_sorted_cached(values_key, indptr, cols_h) -> bool:
+    got = _SORTED_CACHE.get(values_key, ("rows_sorted",))
+    if got is None:
+        got = bool(
+            not np.any(np.diff(cols_h) <= 0) or _rows_sorted(indptr, cols_h)
+        )
+        _SORTED_CACHE.put(values_key, got, ("rows_sorted",))
+    return got
 
 
 def mxmT_masked(

@@ -132,15 +132,20 @@ def v_map(v, op):
     )
 
 
-@partial(jax.jit, static_argnames=("op_reduce",))
-def v_reduce(init, v, op_reduce) -> Scalar:
+@partial(jax.jit, static_argnames=("op_reduce", "stored_only"))
+def v_reduce(init, v, op_reduce, stored_only: bool = False) -> Scalar:
     """r = fold(op, init, stored values of v) (reference exec_v_reduce).
 
     Dense path folds over ALL n slots like the reference dense kernel
-    (``cpu_v_reduce.hpp`` execute_dn)."""
+    (``cpu_v_reduce.hpp`` execute_dn) — with ``fill != identity`` and a
+    non-idempotent op the fill slots therefore CONTRIBUTE, diverging
+    from the sparse path.  ``stored_only=True`` folds only slots
+    ``!= fill`` (the sparse-path semantics) for callers that need the two
+    paths to agree."""
     if isinstance(v, DenseVec):
         vals = v.values
-        valid = jnp.ones(vals.shape, jnp.bool_)
+        valid = v.stored_mask() if stored_only \
+            else jnp.ones(vals.shape, jnp.bool_)
     else:
         vals = v.values
         valid = v.valid_mask()

@@ -1147,11 +1147,18 @@ class FusedCellSpmv:
     # bits per word): which input-windows' row ranges a batch's tiles can
     # write — drives the resident kernels' active-window level update
     ow_of_batch: jax.Array | None = None
+    # degree-aware relabeling (build with reorder=True; spla_tpu.reorder):
+    # the packed tiles hold PERMUTED ids — apply gathers x by
+    # col_old_of_new on the way in and out by row_new_of_old on the way
+    # out.  None = identity labeling.
+    col_old_of_new: jax.Array | None = None
+    row_new_of_old: jax.Array | None = None
 
 
 jax.tree_util.register_dataclass(
     FusedCellSpmv,
-    data_fields=["fused", "rb_of_tile", "wb_of_batch", "ow_of_batch"],
+    data_fields=["fused", "rb_of_tile", "wb_of_batch", "ow_of_batch",
+                 "col_old_of_new", "row_new_of_old"],
     meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz",
                  "layout"],
 )
@@ -1199,7 +1206,8 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
                                  pattern: bool = False,
                                  paired: bool | None = None,
                                  oct: bool | None = None,
-                                 values_bf16: bool = False):
+                                 values_bf16: bool = False,
+                                 reorder: bool = False):
     """Fused routeless cell layout (packer mode 3, or mode 4 with
     two-choice lanes); None without the native packer or when the output
     exceeds the resident-VMEM cap.
@@ -1222,6 +1230,24 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
     if cw is None:
         cw = _auto_cw(m, n, int(np.asarray(rows).shape[0]), pattern)
     assert cw & (cw - 1) == 0 and 1024 <= cw <= 32768, cw
+    col_old_of_new = row_new_of_old = None
+    if reorder:
+        # degree-aware lane dealing (spla_tpu.reorder): pack under
+        # balanced labels, gather x / out through the permutations at
+        # apply time (two O(n) gathers vs the O(nnz) stream)
+        from ..reorder import spmv_relabel
+
+        r_n2o, _, c_n2o, c_o2n = spmv_relabel(
+            m, n, rows, cols, seg_rows=16384, seg_cols=cw)
+        rows = r_n2o[np.asarray(rows)]
+        cols = c_n2o[np.asarray(cols)]
+        # packer wants row-sorted input
+        srt = np.argsort(rows, kind="stable")
+        rows = np.ascontiguousarray(rows[srt])
+        cols = np.ascontiguousarray(cols[srt])
+        vals = np.ascontiguousarray(np.asarray(vals)[srt])
+        col_old_of_new = jnp.asarray(c_o2n)
+        row_new_of_old = jnp.asarray(r_n2o)
     wide = cw > 16384
     n_rb = max((m + ROW_BLOCK - 1) // ROW_BLOCK, 1)
     if n_rb > FUSED_MAX_RB:
@@ -1324,6 +1350,8 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
         slots=int(nt) * TILE, nnz=nnz,
         layout=layout,
         ow_of_batch=ow,
+        col_old_of_new=col_old_of_new,
+        row_new_of_old=row_new_of_old,
     )
 
 
@@ -1688,6 +1716,8 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
     cwr = fmt.cw // 128
     nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
     ident = jnp.float32(identity)
+    if fmt.col_old_of_new is not None:
+        x = x[fmt.col_old_of_new]
     x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
     nwc = nwr // cwr
     if skip_inactive:
@@ -1723,7 +1753,10 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_should_interpret(),
     )(fmt.rb_of_tile, fmt.wb_of_batch, act, fmt.fused, x2d)
-    return out.reshape(-1)[: fmt.m]
+    flat = out.reshape(-1)
+    if fmt.row_new_of_old is not None:
+        return flat[fmt.row_new_of_old]
+    return flat[: fmt.m]
 
 
 # experimental: route pair-layout SpMVs through the manual-DMA kernel
@@ -1744,6 +1777,7 @@ def fused_cell_spmv_apply_manual(fmt: FusedCellSpmv, x, op_mul, op_add,
     x and the output live whole in VMEM, so this variant is capped at
     roughly m, n <= 8M on a 128 MB-VMEM chip."""
     assert fmt.layout in _PAIR_LAYOUTS, fmt.layout
+    assert fmt.col_old_of_new is None, "manual variant: reorder unsupported"
     if slots is None:
         slots = MANUAL_DMA_SLOTS
     NB = max(int(slots), 2)
@@ -2255,6 +2289,9 @@ def _resident_call(fmt: FusedCellSpmv, source, kind):
     layout = 4 if kind == "sssp" else 5
     if fmt.layout != layout or fmt.m != fmt.n or fmt.ow_of_batch is None:
         return None
+    if fmt.col_old_of_new is not None:
+        return None  # resident traversal keeps x in window form; build
+        # the format without reorder for these kernels
     R = fmt.n_row_blocks * 128
     state_bytes = 3 * R * 128 * 4
     if fmt.fused.nbytes + state_bytes > RESIDENT_VMEM:
@@ -2462,10 +2499,15 @@ def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
     cwr = fmt.cw // 128
     nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
     ident = jnp.float32(identity)
+    if fmt.col_old_of_new is not None:
+        x = x[fmt.col_old_of_new]
     x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
     out = fused_spmv2d_adaptive(fmt, x2d, op_mul, op_add, identity,
                                 front_factor)
-    return out.reshape(-1)[: fmt.m]
+    flat = out.reshape(-1)
+    if fmt.row_new_of_old is not None:
+        return flat[fmt.row_new_of_old]
+    return flat[: fmt.m]
 
 
 def split_fused_format(fmt: FusedCellSpmv, parts: int = 2):
@@ -2491,6 +2533,8 @@ def split_fused_format(fmt: FusedCellSpmv, parts: int = 2):
             wb_of_batch=fmt.wb_of_batch[b0:b1],
             slots=(b1 - b0) * FUSED_K * TILE, nnz=fmt.nnz,
             layout=fmt.layout, ow_of_batch=None,
+            col_old_of_new=fmt.col_old_of_new,
+            row_new_of_old=fmt.row_new_of_old,
         ))
     return out
 

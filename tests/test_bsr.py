@@ -49,3 +49,20 @@ def test_bsr_generalized_mul():
     # op_mul(0, x) — document via the test (block semantics)
     y = np.asarray(bsr_spmv(B, jnp.asarray(x), op_mul=lambda av, xv: av * 2 * xv))
     np.testing.assert_allclose(y, 2 * (a @ x), rtol=1e-4, atol=1e-5)
+
+
+def test_bsr_spmv_rejects_non_plus_accumulator():
+    from spla_tpu import op
+    from spla_tpu.formats import bsr_from_csr_host, csr_from_scipy
+    import scipy.sparse as sp
+
+    A = bsr_from_csr_host(
+        csr_from_scipy(sp.identity(8, np.float32, format="csr")), block=8
+    )
+    x = jnp.ones(8, jnp.float32)
+    with pytest.raises(AssertionError):
+        bsr_spmv(A, x, op_add=op.MIN_FLOAT)
+    # PLUS (or None) passes
+    np.testing.assert_allclose(
+        np.asarray(bsr_spmv(A, x, op_add=op.PLUS_FLOAT)), np.ones(8)
+    )

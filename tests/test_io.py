@@ -90,3 +90,27 @@ def test_stats(mtx_file):
     l = load_mtx(mtx_file, make_undirected=False, remove_loops=False)
     s = l.stats
     assert s["n_values"] == 5 and s["deg_max"] == 2 and s["deg_min"] == 1
+
+
+def test_skew_symmetric_negates_mirror(tmp_path):
+    """MatrixMarket skew-symmetric: A = -A^T, mirrored entries negated
+    (round-4 parity fix; the header previously parsed as plain
+    symmetric)."""
+    p = tmp_path / "skew.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "3 3 2\n"
+        "2 1 5.0\n"
+        "3 2 -2.0\n"
+    )
+    from spla_tpu.io import MtxLoader
+
+    ld = MtxLoader(verbose=False).load(str(p))
+    import scipy.sparse as sp
+
+    A = sp.coo_matrix(
+        (ld.vals, (ld.rows, ld.cols)), shape=(3, 3)
+    ).toarray()
+    assert A[1, 0] == 5.0 and A[0, 1] == -5.0
+    assert A[2, 1] == -2.0 and A[1, 2] == 2.0
+    np.testing.assert_array_equal(A, -A.T)

@@ -170,3 +170,19 @@ def test_parallel_primitives_parity():
         np.asarray(prefix_sum(jnp.asarray([1, 2, 3, 4]))), [0, 1, 3, 6]
     )
     assert exclusive_scan is prefix_sum
+
+
+def test_v_reduce_dense_fill_divergence_and_stored_only():
+    """Dense v_reduce folds ALL slots (reference dense-kernel parity):
+    with fill != identity and PLUS the fill slots contribute.
+    stored_only=True restores the sparse-path semantics."""
+    from spla_tpu.formats import dense_to_sparse_vec
+
+    v = DenseVec(jnp.asarray([2.0, 5.0, 2.0, 7.0], jnp.float32),
+                 jnp.float32(2.0))  # fill = 2: slots 0 and 2 are unstored
+    all_slots = v_reduce(0.0, v, op.PLUS_FLOAT)
+    assert float(np.asarray(all_slots.value)) == 16.0  # 2+5+2+7
+    stored = v_reduce(0.0, v, op.PLUS_FLOAT, stored_only=True)
+    assert float(np.asarray(stored.value)) == 12.0  # 5+7
+    sparse = v_reduce(0.0, dense_to_sparse_vec(v), op.PLUS_FLOAT)
+    assert float(np.asarray(sparse.value)) == float(np.asarray(stored.value))

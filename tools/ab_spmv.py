@@ -37,16 +37,37 @@ def main():
     ap.add_argument("--manual", type=int, default=0,
                     help="manual-DMA slot count; 0 = Mosaic pipeline")
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--reorder", action="store_true",
+                    help="degree-aware lane-dealing relabeling before "
+                         "packing (spla_tpu.reorder)")
+    ap.add_argument("--graph", default="uniform",
+                    choices=["uniform", "powerlaw"],
+                    help="powerlaw: zipf(2.1) out-degrees — the skewed "
+                         "case relabeling exists for")
     args = ap.parse_args()
 
     import jax
+
+    # the axon TPU plugin ignores JAX_PLATFORMS; SPLA_PLATFORM=cpu keeps
+    # host-only runs (pad A/B) off the tunnel
+    if os.environ.get("SPLA_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SPLA_PLATFORM"])
     import jax.numpy as jnp
 
     from bench import build_graph
     from spla_tpu.pallas import spmv as S
 
-    indptr, rows, cols, vals = build_graph(args.n, args.deg)
-    del indptr
+    if args.graph == "powerlaw":
+        rng = np.random.default_rng(0)
+        n = args.n
+        deg = np.minimum(rng.zipf(2.1, n) * args.deg // 2, n // 4)
+        rows = np.repeat(np.arange(n, dtype=np.int32),
+                         deg).astype(np.int32)
+        cols = rng.integers(0, n, rows.size, dtype=np.int32)
+        vals = rng.random(rows.size, dtype=np.float32)
+    else:
+        indptr, rows, cols, vals = build_graph(args.n, args.deg)
+        del indptr
     n = args.n
     nnz = vals.size
 
@@ -78,12 +99,21 @@ def main():
         cw = cw or 16384
 
     t0 = time.perf_counter()
-    fmt = S.build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=cw, **kw)
+    fmt = S.build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=cw,
+                                         reorder=args.reorder, **kw)
     if fmt is None:
         print(json.dumps({"variant": args.variant, "error": "build failed"}))
         return
     jax.block_until_ready(fmt.fused)
     build_s = time.perf_counter() - t0
+    if os.environ.get("SPLA_AB_PAD_ONLY"):
+        print(json.dumps({
+            "variant": args.variant, "graph": args.graph,
+            "reorder": args.reorder, "cw": fmt.cw, "layout": fmt.layout,
+            "padding": round(fmt.slots / fmt.nnz, 3),
+            "tiles": fmt.slots // 1024, "build_s": round(build_s, 1),
+        }))
+        return
 
     x = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
 
