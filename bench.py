@@ -201,6 +201,12 @@ def main():
                     "mnnz_per_s": round(nnz / dt / 1e6, 1),
                     "padding": round(fmt.slots / fmt.nnz, 3),
                     "preprocess_s": round(build_s, 1),
+                    # stage split: "pack_s" = native packer (or disk-cache
+                    # load), "h2d_s" = device transfer of the packed
+                    # arrays (~600 MB through the remote-TPU tunnel)
+                    "preprocess_stages": __import__(
+                        "spla_tpu.pallas.spmv", fromlist=["x"]
+                    ).LAST_BUILD_PROFILE,
                     "device": str(dev),
                     "roofline_gbps": roofline,
                 },

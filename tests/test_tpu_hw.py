@@ -211,3 +211,65 @@ def test_facade_dispatch_hw():
     assert S.DISPATCH_STATS["mxv_pallas"] == before["mxv_pallas"] + 1
     ref = A @ np.ones(A.shape[1], np.float32)
     np.testing.assert_allclose(r.to_numpy(), ref, rtol=2e-5, atol=1e-5)
+
+
+def test_int_native_spmv_hw():
+    """Int-native kernel: int32 min-plus EXACT far past the old 2^24
+    f32-embedding gate (round-4; VERDICT r3 item 6)."""
+    from spla_tpu import formats as F
+    from spla_tpu import op as OP
+    from spla_tpu.types import INT
+    from spla_tpu.pallas.spmv import pallas_spmv_fn_int
+
+    rng = np.random.default_rng(11)
+    m = n = 6000
+    nnz = 40000
+    rows = np.sort(rng.integers(0, m, nnz)).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.integers(1, 1 << 28, nnz).astype(np.int32)
+    A = F.csr_from_entries((m, n), rows, cols, vals, dtype=np.int32)
+    fn = pallas_spmv_fn_int(A, OP.lookup("PLUS", INT),
+                            OP.lookup("MIN", INT), (1 << 31) - 1)
+    assert fn is not None
+    x = rng.integers(0, 1 << 28, n).astype(np.int32)
+    r = np.asarray(fn(A, jnp.asarray(x)))
+    nnz_a = int(np.asarray(A.nnz))
+    ar = np.asarray(A.row_ids)[:nnz_a]
+    ac = np.asarray(A.cols)[:nnz_a]
+    av = np.asarray(A.values)[:nnz_a].astype(np.int64)
+    prod = (av + x[ac].astype(np.int64)).astype(np.int32)
+    ref = np.full(m, (1 << 31) - 1, np.int64)
+    np.minimum.at(ref, ar, prod)
+    np.testing.assert_array_equal(r.astype(np.int64), ref)
+
+
+def test_balanced_dispatch_skewed_hw():
+    """Skewed graph through the public op layer: dispatch picks the
+    hub-split + relabeled format and stays exact."""
+    from spla_tpu import formats as F
+    from spla_tpu import op as OP
+    from spla_tpu.types import FLOAT
+    from spla_tpu.containers import DenseVec
+    from spla_tpu.ops import spmv as S
+    from spla_tpu.pallas.spmv import is_skewed
+
+    rng = np.random.default_rng(13)
+    n = 20000
+    deg = np.minimum(rng.zipf(2.1, n) * 8, n // 8).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int32), deg)
+    cols = rng.integers(0, n, rows.size, dtype=np.int32)
+    vals = rng.random(rows.size, np.float32)
+    A = F.csr_from_entries((n, n), rows, cols, vals, dtype=np.float32)
+    assert is_skewed(A)
+    x = DenseVec(jnp.asarray(rng.random(n, np.float32)), jnp.float32(0))
+    mask = DenseVec(jnp.asarray(np.ones(n, np.float32)), jnp.float32(0))
+    MULT = OP.lookup("MULT", FLOAT)
+    PLUS = OP.lookup("PLUS", FLOAT)
+    GEZ = OP.lookup("GEZERO", FLOAT)
+    before = dict(S.DISPATCH_STATS)
+    r = S.mxv_masked(mask, A, x, MULT, PLUS, GEZ, 0.0)
+    assert S.DISPATCH_STATS["mxv_pallas"] == before["mxv_pallas"] + 1
+    ref = S._mxv_masked_xla(mask, A, x, MULT, PLUS, GEZ, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(r.values), np.asarray(ref.values), rtol=3e-5, atol=3e-5
+    )

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--reorder", action="store_true",
                     help="degree-aware lane-dealing relabeling before "
                          "packing (spla_tpu.reorder)")
+    ap.add_argument("--split", action="store_true",
+                    help="hub-column splitting (alias columns) before "
+                         "packing")
+    ap.add_argument("--split-thresh", type=int, default=0,
+                    help="explicit hub-split threshold (0 = auto)")
     ap.add_argument("--graph", default="uniform",
                     choices=["uniform", "powerlaw"],
                     help="powerlaw: zipf(2.1) out-degrees — the skewed "
@@ -99,8 +104,10 @@ def main():
         cw = cw or 16384
 
     t0 = time.perf_counter()
+    split = args.split_thresh if args.split_thresh else args.split
     fmt = S.build_fused_cell_spmv_arrays(n, n, rows, cols, vals, cw=cw,
-                                         reorder=args.reorder, **kw)
+                                         reorder=args.reorder,
+                                         split_hubs=split, **kw)
     if fmt is None:
         print(json.dumps({"variant": args.variant, "error": "build failed"}))
         return
