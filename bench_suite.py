@@ -388,14 +388,20 @@ def main():
     x0 = np.zeros(nf, np.float32)
     x0[:: max(nf // 1024, 1)] = 1.0
 
+    # functional baseline rides the SAME dispatch the facade now uses
+    # (best_spmv_fn -> Pallas on TPU, XLA on CPU) so the ratio measures
+    # facade overhead, not kernel reach (r3 verdict item 7)
+    from spla_tpu import op as OPm
+    from spla_tpu.ops.spmv import best_spmv_fn
+
+    spmv_fn = best_spmv_fn(At2, OPm.MULT_FLOAT, OPm.PLUS_FLOAT,
+                           jnp.float32(0))
+
     def chain_fn():
         import spla_tpu
         r = spla_tpu.DenseVec(jnp.asarray(x0), jnp.float32(0))
-        from spla_tpu import op as OPm
         for _ in range(CH):
-            rr, _ = __import__("spla_tpu.ops.spmv", fromlist=["masked_spmv"]).masked_spmv(
-                At2, r.values, OPm.MULT_FLOAT, OPm.PLUS_FLOAT, jnp.float32(0))
-            r = spla_tpu.DenseVec(rr, jnp.float32(0))
+            r = spla_tpu.DenseVec(spmv_fn(At2, r.values), jnp.float32(0))
         return float(np.asarray(jnp.sum(r.values)))
 
     chain_fn()
@@ -431,6 +437,41 @@ def main():
         float(np.asarray(jnp.sum(scan_chain(xs))))
         dtp = (time.perf_counter() - t0) / 50
         emit(label, dtp * 1e3, "ms", n=np_, device=dev)
+
+    # ---- skewed-graph masked SpMV (hub-split + relabeled format) ----
+    # the round-4 balanced dispatch: zipf-2.1 out-degrees, the class of
+    # graph on which the plain pair layout padded 216x (BENCH.md r4)
+    ns = 1 << (14 if args.small else 18)
+    rngs = np.random.default_rng(7)
+    degs = np.minimum(rngs.zipf(2.1, ns) * 8, ns // 4).astype(np.int64)
+    srows = np.repeat(np.arange(ns, dtype=np.int32), degs)
+    scols = rngs.integers(0, ns, srows.size, dtype=np.int32)
+    svals = rngs.random(srows.size, np.float32)
+    Sk = F.csr_from_entries((ns, ns), srows, scols, svals,
+                            dtype=np.float32)
+    from spla_tpu.ops.spmv import best_spmv_fn as _bfn
+
+    sk_fn = _bfn(Sk, FLOAT_MULT, FLOAT_PLUS, jnp.float32(0))
+    snnz = int(np.asarray(Sk.nnz))
+
+    @jax.jit
+    def sk_step(y, k):
+        o = sk_fn(Sk, y)
+        return o * ((1.0 + k * 1e-6) / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
+
+    xs0 = jnp.asarray(rngs.random(ns, np.float32))
+    np.asarray(sk_step(xs0, jnp.float32(0)))  # warm-up
+    sreps = 50
+    dts = float("inf")
+    for _ in range(2):
+        y = xs0
+        t0 = time.perf_counter()
+        for k in range(sreps):
+            y = sk_step(y, jnp.float32(k % 97))
+        np.asarray(jnp.sum(jnp.abs(y)))
+        dts = min(dts, (time.perf_counter() - t0) / sreps)
+    emit("skewed_spmv_gbps", (snnz * 12 + ns * 8) / dts / 1e9, "GB/s",
+         n=ns, nnz=snnz, ms=round(dts * 1e3, 3), device=dev)
 
     # ---- SpGEMM (masked mxmT, triangle counting core) ----
     nt = 1 << (12 if args.small else 15)

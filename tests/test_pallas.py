@@ -222,6 +222,7 @@ def test_monoid_cell_spmv_max():
     np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
 
 
+@slow
 def test_monoid_packing_dense_cells():
     # rank-within-l dealing order: dense cells must pack near the
     # ceil(max_l/8) floor, not explode the probe ring (was 102x)
@@ -297,6 +298,7 @@ def test_s_cell_spmv_minplus():
     np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
 
 
+@slow
 def test_s_cell_spmv_duplicate_heavy_rows():
     # rows with many in-window entries exercise the one-entry-per-row-per-
     # tile constraint (entries must spread across tiles, none dropped)
@@ -330,6 +332,7 @@ def test_s_cell_spmv_duplicate_heavy_rows():
     np.testing.assert_allclose(r, a @ x, rtol=1e-4, atol=1e-4)
 
 
+@slow
 def test_s_cell_spmv_skip_inactive():
     from spla_tpu.pallas.cellpack_native import _native_lib
     from spla_tpu.pallas.spmv import build_s_cell_spmv_arrays, s_cell_spmv_apply
@@ -512,6 +515,7 @@ def test_fused_cell_spmv_minplus_inf_fill():
     np.testing.assert_allclose(r, ref, rtol=1e-5, atol=1e-5)
 
 
+@slow
 def test_fused_cell_spmv_heavy_rows_and_window_pad():
     # a few rows with hundreds of same-window entries exercise the
     # one-entry-per-row-per-tile constraint; n not a multiple of cw
@@ -539,6 +543,7 @@ def test_fused_cell_spmv_heavy_rows_and_window_pad():
     np.testing.assert_allclose(r, a @ x, rtol=1e-5, atol=1e-5)
 
 
+@slow
 def test_fused_cell_spmv_skip_inactive():
     from spla_tpu.pallas.spmv import fused_cell_spmv_apply
 

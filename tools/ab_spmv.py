@@ -136,15 +136,22 @@ def main():
               f"{[f.n_tiles for f in split]}", file=sys.stderr)
 
     @jax.jit
+    def step_split(parts, y, k):
+        # parts passed as pytree ARGS: closing over them would embed
+        # ~700 MB of format constants in the HLO (the remote compile
+        # service rejects the request with HTTP 413)
+        os_ = [S.fused_cell_spmv_apply(f, y, op_mul=_mult,
+                                       op_add=jnp.add, identity=0.0)
+               for f in parts]
+        o = os_[0]
+        for oi in os_[1:]:
+            o = o + oi
+        return o * ((1.0 + k * 1e-6)
+                    / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
+
+    @jax.jit
     def step(fmt, y, k):
-        if split is not None:
-            os_ = [S.fused_cell_spmv_apply(f, y, op_mul=_mult,
-                                           op_add=jnp.add, identity=0.0)
-                   for f in split]
-            o = os_[0]
-            for oi in os_[1:]:
-                o = o + oi
-        elif manual:
+        if manual:
             o = S.fused_cell_spmv_apply_manual(fmt, y, _mult, jnp.add, 0.0,
                                                slots=manual)
         else:
@@ -152,6 +159,10 @@ def main():
                                         identity=0.0)
         return o * ((1.0 + k * 1e-6)
                     / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
+
+    if split is not None:
+        def step(fmt, y, k):
+            return step_split(split, y, k)
 
     y = step(fmt, x, jnp.float32(0))
     ref = None
