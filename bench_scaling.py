@@ -27,7 +27,15 @@ def main():
     ap.add_argument("--shards", type=int, nargs="*", default=[1, 2, 4, 8])
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; mirror a cpu
+    # request into jax.config (same trick as tests/conftest.py)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "") \
+            or os.environ.get("SPLA_PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     if len(jax.devices()) < max(args.shards):
         raise SystemExit(
@@ -75,6 +83,42 @@ def main():
             "efficiency": round(speedup / s, 3),
             "n": n, "nnz": int(A.nnz),
             "device": jax.devices()[0].platform,
+        }), flush=True)
+
+    # ---- comm VOLUME: sparse vs dense frontier exchange (road-class) ----
+    # Wall time on the virtual CPU mesh is meaningless, but per-level
+    # gather bytes transfer unchanged to real ICI.  A road-class graph
+    # (2D grid: thousands of near-empty BFS levels) is the case the
+    # capped-sparse exchange exists for (r3 verdict item 3).
+    import scipy.sparse as sp
+
+    from spla_tpu.parallel import dist_bfs
+
+    side = 1 << (6 if args.small else 9)
+    g = side * side
+    ii = np.arange(g)
+    right = ii[(ii % side) < side - 1]
+    down = ii[ii < g - side]
+    rr = np.concatenate([right, right + 1, down, down + side])
+    cc = np.concatenate([right + 1, right, down + side, down])
+    G = sp.coo_matrix((np.ones(rr.size, np.float32), (rr, cc)),
+                      shape=(g, g)).tocsr()
+    Gc = F.csr_from_scipy(G.astype(np.int32))
+    s = max(args.shards)
+    mesh = make_device_mesh(s)
+    sc = shard_csr_by_rows(Gc, s, mesh)
+    for cap, label in ((0, "dense"), (None, "sparse")):
+        v, st = dist_bfs(mesh, sc, 0, frontier_cap=cap, with_stats=True)
+        np.asarray(v)
+        print(json.dumps({
+            "metric": "dist_bfs_comm_bytes_per_level",
+            "exchange": label,
+            "shards": s,
+            "levels": st["levels"],
+            "sparse_levels": st["sparse_levels"],
+            "comm_bytes_total": st["comm_bytes"],
+            "bytes_per_level": round(st["comm_bytes"] / max(st["levels"], 1)),
+            "n": g, "nnz": int(G.nnz),
         }), flush=True)
 
 

@@ -209,11 +209,12 @@ def dist_bfs(mesh: Mesh, At: ShardedCsr, source, axis="d",
     exchanged per level via the capped-sparse index gather (halo
     exchange), dense gather past the cap; depths row-sharded.
 
-    ``frontier_cap``: per-shard sparse-exchange capacity (None = mloc/4,
-    0 = always dense).  ``with_stats``: also return
+    ``frontier_cap``: per-shard sparse-exchange capacity (None = mloc/16
+    — the index payload is 4 B vs the dense gather's 1 B/vertex, so the
+    cap must sit well under mloc/4 to save volume; 0 = always dense).  ``with_stats``: also return
     ``{"comm_bytes", "sparse_levels", "levels"}`` (logical gather bytes)."""
     if frontier_cap is None:
-        frontier_cap = max(At.mloc // 4, 1)
+        frontier_cap = max(At.mloc // 16, 32)
     v, comm, sp, lev = _dist_bfs_impl(
         mesh, _arrays(At), jnp.asarray(source, jnp.int32),
         At.shape[0], At.mloc, At.n_shards, axis, frontier_cap,
@@ -331,7 +332,7 @@ def dist_sssp(mesh: Mesh, At: ShardedCsr, source, axis="d",
     vector is exchanged per round via the capped-sparse (index, value)
     gather, dense past the cap (see the exchange note above)."""
     if frontier_cap is None:
-        frontier_cap = max(At.mloc // 4, 1)
+        frontier_cap = max(At.mloc // 16, 32)
     v, comm, sp, it = _dist_sssp_impl(
         mesh, _arrays(At), jnp.asarray(source, jnp.int32),
         At.shape[0], At.mloc, At.n_shards, axis, frontier_cap,
