@@ -262,7 +262,7 @@ def bfs(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
     """
     if At is None:
         At = _default_At(A)
-    if _on_tpu():
+    if _on_tpu() and not _skewed(At):
         from .pallas.spmv import get_best_monoid_format, get_structural_format
 
         fmtM, _ = get_best_monoid_format(At, structural=True)
@@ -433,7 +433,7 @@ def sssp(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
     them."""
     if At is None:
         At = _default_At(A)
-    if _on_tpu() and At.values.dtype == jnp.float32:
+    if _on_tpu() and At.values.dtype == jnp.float32 and not _skewed(At):
         from .pallas.spmv import get_best_monoid_format
 
         fmt, _ = get_best_monoid_format(At)
@@ -504,11 +504,27 @@ def _mult(av, xv):
     return av * xv
 
 
-@partial(jax.jit, static_argnames=("monoid",))
-def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
-    from .pallas.spmv import cell_spmv_apply
+def _skewed(A) -> bool:
+    """Hub graphs: the resident/adaptive traversal formats cannot use
+    alias splitting (x lives pre-windowed across levels), and the plain
+    layouts pad catastrophically there (BENCH.md r4: zipf-2.1 padded
+    216x and packed for 489 s).  BFS/SSSP fall back to the XLA
+    while_loop on such graphs; PageRank uses the hub-split format."""
+    try:
+        from .pallas.spmv import is_skewed
 
-    n = fmt.m
+        return is_skewed(A)
+    except Exception:  # pragma: no cover
+        return False
+
+
+@partial(jax.jit, static_argnames=("monoid", "combine"))
+def _pr_kernel_pallas(fmt, alpha, eps, monoid=True, combine=None):
+    from .pallas.spmv import cell_spmv_apply, fused_cell_spmv_apply
+
+    # combine != None: hub-split (balanced) format — the state vector is
+    # the ORIGINAL m; apply extends x / folds alias outputs internally
+    n = fmt.m_orig if combine is not None else fmt.m
     addition = (1.0 - alpha) / n
     p0 = jnp.full((n,), 1.0 / n, jnp.float32)
 
@@ -517,7 +533,11 @@ def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
 
     def body(state):
         p_prev, _, it = state
-        if monoid:
+        if combine is not None:
+            ap = fused_cell_spmv_apply(fmt, p_prev, op_mul=_mult,
+                                       op_add=jnp.add, identity=0.0,
+                                       alias_combine=combine)
+        elif monoid:
             ap = _monoid_apply(fmt)(
                 fmt, p_prev, op_mul=_mult, op_add=jnp.add, identity=0.0
             )
@@ -534,15 +554,31 @@ def _pr_kernel_pallas(fmt, alpha, eps, monoid=True):
 def pr(A: CsrMatrix, alpha: float = 0.85, eps: float = 1e-6,
        descriptor: Descriptor | None = None) -> DenseVec:
     if _on_tpu() and A.values.dtype == jnp.float32:
-        from .pallas.spmv import get_best_monoid_format, get_cell_format
+        from .pallas.spmv import (
+            get_balanced_fused_format,
+            get_best_monoid_format,
+            get_cell_format,
+            is_skewed,
+        )
 
-        fmtM, _ = get_best_monoid_format(A)
-        if fmtM is not None:
-            p = _pr_kernel_pallas(fmtM, jnp.float32(alpha), jnp.float32(eps))
+        if is_skewed(A):
+            # hub graphs: the plain layouts pad catastrophically (zipf
+            # 2.1 measured 216x); the hub-split format runs the same
+            # loop with an alias fold per step
+            fmtB = get_balanced_fused_format(A)
+            if fmtB is not None:
+                p = _pr_kernel_pallas(fmtB, jnp.float32(alpha),
+                                      jnp.float32(eps), combine="add")
+                return DenseVec(p, jnp.float32(0))
         else:
-            p = _pr_kernel_pallas(get_cell_format(A), jnp.float32(alpha),
-                                  jnp.float32(eps), monoid=False)
-        return DenseVec(p, jnp.float32(0))
+            fmtM, _ = get_best_monoid_format(A)
+            if fmtM is not None:
+                p = _pr_kernel_pallas(fmtM, jnp.float32(alpha),
+                                      jnp.float32(eps))
+            else:
+                p = _pr_kernel_pallas(get_cell_format(A), jnp.float32(alpha),
+                                      jnp.float32(eps), monoid=False)
+            return DenseVec(p, jnp.float32(0))
     p = _pr_kernel(A, jnp.float32(alpha), jnp.float32(eps))
     return DenseVec(p, jnp.float32(0))
 

@@ -1249,6 +1249,16 @@ class FusedCellSpmv:
     # m is the EXTENDED height; m_orig = m - len(row_alias_src).
     row_alias_src: jax.Array | None = None
 
+    @property
+    def m_orig(self) -> int:
+        return self.m - (0 if self.row_alias_src is None
+                         else self.row_alias_src.shape[0])
+
+    @property
+    def n_orig(self) -> int:
+        return self.n - (0 if self.alias_src is None
+                         else self.alias_src.shape[0])
+
 
 jax.tree_util.register_dataclass(
     FusedCellSpmv,

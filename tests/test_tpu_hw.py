@@ -273,3 +273,31 @@ def test_balanced_dispatch_skewed_hw():
     np.testing.assert_allclose(
         np.asarray(r.values), np.asarray(ref.values), rtol=3e-5, atol=3e-5
     )
+
+
+def test_pr_skewed_hub_split_hw():
+    """PageRank on a hub graph runs the hub-split (balanced) format with
+    the per-step alias fold and matches the XLA reference."""
+    from spla_tpu import algorithms as alg
+    from spla_tpu import formats as F
+    from spla_tpu.pallas.spmv import is_skewed
+
+    rng = np.random.default_rng(17)
+    n = 20000
+    deg = np.minimum(rng.zipf(2.1, n) * 8, n // 8).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int32), deg)
+    cols = rng.integers(0, n, rows.size, dtype=np.int32)
+    A = sp.coo_matrix((np.ones(rows.size, np.float32), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    outdeg = np.asarray(A.sum(axis=0)).ravel()
+    outdeg[outdeg == 0] = 1
+    Ap = F.csr_from_scipy(A.multiply(0.85 / outdeg).tocsr().astype(np.float32))
+    assert is_skewed(Ap)
+    p = np.asarray(alg.pr(Ap, 0.85, 1e-6).values)
+    # XLA reference on the same matrix
+    from spla_tpu.algorithms import _pr_kernel
+    import jax.numpy as jnp2
+
+    pref = np.asarray(_pr_kernel(Ap, jnp2.float32(0.85), jnp2.float32(1e-6)))
+    np.testing.assert_allclose(p, pref, rtol=1e-4, atol=1e-7)
