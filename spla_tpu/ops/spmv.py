@@ -233,6 +233,23 @@ _VXM_ABSORB = {
     ("MAX", "min"): float("inf"),
 }
 
+# int32/uint32 variant, keyed by (mul name, op_add NAME): only pairs
+# whose absorbing product is exact in wrapping int arithmetic (no
+# overflow path: the product is the constant itself or 0).  PLUS-mul
+# pairs are excluded — identity +- a wraps.
+_VXM_ABSORB_INT = {
+    ("MULT", "PLUS"): 0,
+    ("MULT", "BOR"): 0,
+    ("BAND", "BOR"): 0,  # the reference BFS traversal semiring
+    ("LAND", "LOR"): 0,
+    ("MIN", "MAX"): "identity",  # MIN(identity_of_MAX=lowest, a) = lowest
+    ("MAX", "MIN"): "identity",
+    ("FIRST", "PLUS"): "identity",
+    ("FIRST", "MIN"): "identity",
+    ("FIRST", "MAX"): "identity",
+    ("FIRST", "BOR"): "identity",
+}
+
 # vxm computes mul(v[i], M[i,j]) but the kernels compute mul(M_ij, x_i):
 # commutative muls pass through; FIRST/SECOND swap names; anything else
 # falls back to the XLA path (no absorb entry anyway).
@@ -396,21 +413,32 @@ def vxm_masked(
 
 def _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
                      out_capacity):
-    kind = getattr(op_add, "scatter", None)
     mul_name = "MULT" if op_mul is None else getattr(op_mul, "name", None)
-    absorb = _VXM_ABSORB.get((mul_name, kind))
-    if absorb is None:
+    if M_t.values.dtype == jnp.float32:
+        kind = getattr(op_add, "scatter", None)
+        absorb = _VXM_ABSORB.get((mul_name, kind))
+        if absorb is None:
+            return None
+        if not _matrix_finite(M_t):
+            return None
+    elif M_t.values.dtype in (jnp.int32, jnp.uint32):
+        # int-native kernel: absorb pairs exact in wrapping arithmetic
+        absorb = _VXM_ABSORB_INT.get(
+            (mul_name, getattr(op_add, "name", None)))
+        if absorb is None:
+            return None
+        if absorb == "identity":
+            absorb = getattr(op_add, "identity", None)
+            if absorb is None:
+                return None
+    else:
         return None
-    if M_t.values.dtype != jnp.float32:
-        return None  # int path: absorb values exceed the f32-embedding gate
     kmul = _swapped_mul(op_mul)
     fn = _pallas_fn(M_t, kmul, op_add, init)
     if fn is None:
         return None
     hits_fn = _structural_hits_fn(M_t)
     if hits_fn is None:
-        return None
-    if not _matrix_finite(M_t):
         return None
     n_out, n_in = M_t.shape
     init_a = _scalar(init, M_t.values.dtype)
