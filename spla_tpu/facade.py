@@ -469,12 +469,16 @@ class Vector:
     def vxm(self, mask, M: "Matrix", op_mult, op_add, op_select,
             out=None, init=None, desc=None):
         init_v = _sval(init) if init is not None else _zero(self._dtype.np_dtype)
-        r = X.vxm_masked(
+        # dense-result variant: the Vector container is dense, so the
+        # sparse compaction + structural pass of vxm_masked are
+        # unobservable here — one kernel instead of two (ops.spmv
+        # docstring has the equivalence argument)
+        r = X.vxm_masked_dense(
             mask._device(), self._device(), M._device_t(),
             op_mult, op_add, op_select, init_v, desc,
         )
         res = out if out is not None else Vector(M.n_cols, self._dtype)
-        return res._adopt(F.sparse_to_dense_vec(r))
+        return res._adopt(r)
 
     def eadd(self, op_add, v: "Vector", out=None, desc=None):
         r = X.v_eadd(self._device(), v._device(), op_add)

@@ -8,7 +8,13 @@ tracing: an op *is* its dispatch key, and XLA's compilation cache replaces
 the CLProgramCache.
 """
 
-from .spmv import masked_spmv, masked_spmv_structural, mxv_masked, vxm_masked
+from .spmv import (
+    masked_spmv,
+    masked_spmv_structural,
+    mxv_masked,
+    vxm_masked,
+    vxm_masked_dense,
+)
 from .vector import (
     v_assign_masked,
     v_count_mf,
@@ -37,6 +43,7 @@ __all__ = [
     "masked_spmv_structural",
     "mxv_masked",
     "vxm_masked",
+    "vxm_masked_dense",
     "v_eadd",
     "v_emult",
     "v_map",

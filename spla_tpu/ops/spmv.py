@@ -37,6 +37,7 @@ __all__ = [
     "masked_spmv",
     "mxv_masked",
     "vxm_masked",
+    "vxm_masked_dense",
     "masked_spmv_structural",
     "best_spmv_fn",
 ]
@@ -411,8 +412,78 @@ def vxm_masked(
                            desc, out_capacity)
 
 
-def _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
-                     out_capacity):
+def vxm_masked_dense(
+    mask: DenseVec,
+    v,
+    M_t: CsrMatrix,
+    op_mul,
+    op_add,
+    op_select,
+    init,
+    desc=None,
+) -> DenseVec:
+    """Dense-result push SpMV — the facade fast path.
+
+    Value-equivalent to ``dense(vxm_masked(...))``: a dense container
+    represents stored-slots-whose-value-equals-fill identically to
+    unstored slots, so the structural stored-ness pass and the sparse
+    compaction are unobservable through it.  The accelerated path is
+    therefore ONE Pallas kernel (absorb-masked value pass + mask select)
+    instead of vxm_masked's two plus compaction."""
+    if _accel_enabled() and not _has_tracer(mask, v, M_t, init):
+        r = _vxm_accelerated_dense(mask, v, M_t, op_mul, op_add, op_select,
+                                   init)
+        if r is not None:
+            DISPATCH_STATS["vxm_pallas"] += 1
+            return r
+    DISPATCH_STATS["vxm_xla"] += 1
+    return _vxm_masked_dense_xla(mask, v, M_t, op_mul, op_add, op_select,
+                                 init, desc)
+
+
+@partial(jax.jit, static_argnames=("op_mul", "op_add", "op_select", "desc"))
+def _vxm_masked_dense_xla(mask, v, M_t, op_mul, op_add, op_select, init,
+                          desc=None):
+    dtype = M_t.values.dtype
+    init_a = _scalar(init, dtype)
+    n_out, n_in = M_t.shape
+    if isinstance(v, SparseVec):
+        base = jnp.full((n_in + 1,), init_a, dtype)
+        vals = jnp.where(v.valid_mask(), v.values, init_a)
+        x_vals = base.at[v.indices].set(vals, mode="drop")[:n_in]
+        x_valid = (
+            jnp.zeros((n_in + 1,), jnp.bool_)
+            .at[v.indices]
+            .set(v.valid_mask(), mode="drop")[:n_in]
+        )
+    else:
+        x_vals = v.values
+        x_valid = v.stored_mask()
+    out, has = masked_spmv(
+        M_t,
+        x_vals,
+        lambda a_val, x_val: op_mul(x_val, a_val),
+        op_add,
+        init_a,
+        x_valid=x_valid,
+        mask_vals=mask.values,
+        op_select=op_select,
+    )
+    return DenseVec(jnp.where(has, out, init_a), init_a)
+
+
+def _vxm_accelerated_dense(mask, v, M_t, op_mul, op_add, op_select, init):
+    prep = _vxm_absorb_prep(v, M_t, op_mul, op_add, init)
+    if prep is None:
+        return None
+    fn, x, _active, init_a = prep
+    out_vals = fn(M_t, x)
+    return _mxv_mask_post(out_vals, mask.values, op_select, init_a)
+
+
+def _vxm_absorb_prep(v, M_t, op_mul, op_add, init):
+    """Shared gates + dense-x construction for the accelerated vxm
+    paths; returns (kernel_fn, x_dense, active_mask, init_a) or None."""
     mul_name = "MULT" if op_mul is None else getattr(op_mul, "name", None)
     if M_t.values.dtype == jnp.float32:
         kind = getattr(op_add, "scatter", None)
@@ -422,7 +493,6 @@ def _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
         if not _matrix_finite(M_t):
             return None
     elif M_t.values.dtype in (jnp.int32, jnp.uint32):
-        # int-native kernel: absorb pairs exact in wrapping arithmetic
         absorb = _VXM_ABSORB_INT.get(
             (mul_name, getattr(op_add, "name", None)))
         if absorb is None:
@@ -437,9 +507,6 @@ def _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
     fn = _pallas_fn(M_t, kmul, op_add, init)
     if fn is None:
         return None
-    hits_fn = _structural_hits_fn(M_t)
-    if hits_fn is None:
-        return None
     n_out, n_in = M_t.shape
     init_a = _scalar(init, M_t.values.dtype)
     absorb_a = jnp.asarray(absorb, M_t.values.dtype)
@@ -447,6 +514,19 @@ def _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
         x, active = _vxm_dense_x_sparse(v, n_in, absorb_a)
     else:
         x, active = _vxm_dense_x_dense(v, absorb_a)
+    return fn, x, active, init_a
+
+
+def _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
+                     out_capacity):
+    prep = _vxm_absorb_prep(v, M_t, op_mul, op_add, init)
+    if prep is None:
+        return None
+    hits_fn = _structural_hits_fn(M_t)
+    if hits_fn is None:
+        return None
+    fn, x, active, init_a = prep
+    n_out = M_t.shape[0]
     out_vals = fn(M_t, x)
     hits = hits_fn(active.astype(jnp.float32))
     cap = out_capacity if out_capacity is not None else n_out

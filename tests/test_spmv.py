@@ -8,7 +8,7 @@ import scipy.sparse as sp
 import jax.numpy as jnp
 
 from spla_tpu import op, formats as F
-from spla_tpu.containers import DenseVec
+from spla_tpu.containers import DenseVec, SparseVec
 from spla_tpu.ops import masked_spmv_structural, mxv_masked, vxm_masked
 
 
@@ -161,3 +161,35 @@ def test_int_pallas_gate_bounds_products_and_rows():
         ).ravel().astype(np.int64)
         got = np.asarray(r).astype(np.int64)
         assert np.array_equal(got & 0xFFFFFFFF, ref & 0xFFFFFFFF)
+
+
+def test_vxm_masked_dense_equals_densified_sparse(rng):
+    """vxm_masked_dense == sparse_to_dense(vxm_masked) — the equivalence
+    the facade fast path relies on (a dense container cannot represent
+    stored-slots-equal-to-fill)."""
+    from spla_tpu.formats import sparse_to_dense_vec
+    from spla_tpu.ops import vxm_masked, vxm_masked_dense
+
+    m = n = 120
+    rows = rng.integers(0, m, 500).astype(np.int32)
+    cols = rng.integers(0, n, 500).astype(np.int32)
+    vals = rng.random(500).astype(np.float32)
+    A = F.csr_from_entries((m, n), rows, cols, vals, dtype=np.float32)
+    At = F.csr_transpose_host(A)
+    mask = DenseVec(jnp.asarray((rng.random(m) > 0.3).astype(np.float32)),
+                    jnp.float32(0))
+    idx = np.sort(rng.choice(n, 25, replace=False)).astype(np.int32)
+    sv = SparseVec(n=n, indices=jnp.asarray(idx),
+                   values=jnp.asarray(rng.random(25).astype(np.float32)),
+                   nnz=jnp.int32(25), fill=jnp.float32(0))
+    for op_mul, op_add, sel, init in (
+        (op.MULT_FLOAT, op.PLUS_FLOAT, op.GEZERO_FLOAT, 0.0),
+        (op.PLUS_FLOAT, op.MIN_FLOAT, op.NQZERO_FLOAT, float("inf")),
+    ):
+        dense = vxm_masked_dense(mask, sv, At, op_mul, op_add, sel, init)
+        sparse = vxm_masked(mask, sv, At, op_mul, op_add, sel, init)
+        np.testing.assert_allclose(
+            np.asarray(dense.values),
+            np.asarray(sparse_to_dense_vec(sparse).values),
+            rtol=1e-6,
+        )
