@@ -14,12 +14,14 @@ from .dist_matrix import (
     ShardedCsr,
     shard_csr_by_rows,
     shard_csr_by_rows_balanced,
+    shard_csr_split_diag,
     shard_vector_by_rows,
 )
 from .dist_ops import (
     dist_bfs,
     dist_masked_spmv,
     dist_pagerank,
+    dist_pagerank_overlap,
     dist_sssp,
 )
 from .dist_cell import (
@@ -42,9 +44,11 @@ __all__ = [
     "ShardedCsr",
     "shard_csr_by_rows",
     "shard_csr_by_rows_balanced",
+    "shard_csr_split_diag",
     "shard_vector_by_rows",
     "dist_masked_spmv",
     "dist_pagerank",
+    "dist_pagerank_overlap",
     "dist_bfs",
     "dist_sssp",
     "ShardedCellSpmv",

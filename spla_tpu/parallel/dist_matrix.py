@@ -178,6 +178,47 @@ def _device_put_sharded(sc: ShardedCsr, mesh: Mesh, axis: str) -> ShardedCsr:
     )
 
 
+def shard_csr_split_diag(
+    a: CsrMatrix, n_shards: int, mesh: Mesh | None = None, axis: str = "d"
+):
+    """Diagonal/off-diagonal split sharding for comm/compute overlap.
+
+    Per shard s, the DIAGONAL block holds entries with columns in
+    [s*mloc, (s+1)*mloc) re-based to local ids — its SpMV needs only the
+    shard's own x, NO communication; the OFF-DIAGONAL block keeps global
+    (padded) column ids and consumes the all-gathered x.  A step that
+    computes ``diag @ x_local`` while the gather for ``off @ x_full`` is
+    in flight lets XLA's latency-hiding scheduler overlap the collective
+    with Pallas/XLA compute (the north-star "halo exchange overlapped
+    with compute"; SURVEY §2.8).
+
+    Returns ``(diag, off)`` ShardedCsr; diag.shape[1] == mloc (local)."""
+    import numpy as np
+
+    from ..formats import host_coo
+
+    m, n = a.shape
+    mloc = (m + n_shards - 1) // n_shards
+    rows, cols, vals = host_coo(a)
+    shard_of_row = np.minimum(rows // mloc, n_shards - 1)
+    is_diag = (cols // mloc) == shard_of_row
+    fill = np.asarray(a.fill)
+
+    def build(sel, local_cols):
+        from ..formats import csr_from_entries
+
+        r, c, v = rows[sel], cols[sel], vals[sel]
+        if local_cols:
+            c = c - (np.minimum(r // mloc, n_shards - 1) * mloc)
+        mat = csr_from_entries(
+            (m, mloc if local_cols else n), r, c, v, fill=fill,
+            dtype=vals.dtype,
+        )
+        return shard_csr_by_rows(mat, n_shards, mesh, axis)
+
+    return build(is_diag, True), build(~is_diag, False)
+
+
 def shard_vector_by_rows(
     x: np.ndarray, n_shards: int, mloc: int, mesh: Mesh | None = None, axis: str = "d"
 ):

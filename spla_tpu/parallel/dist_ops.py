@@ -24,7 +24,8 @@ from ..containers import CsrMatrix
 from ..ops.spmv import masked_spmv, masked_spmv_structural
 from .dist_matrix import ShardedCsr
 
-__all__ = ["dist_masked_spmv", "dist_pagerank", "dist_bfs", "dist_sssp"]
+__all__ = ["dist_masked_spmv", "dist_pagerank",
+           "dist_pagerank_overlap", "dist_bfs", "dist_sssp"]
 
 
 def _arrays(sc: ShardedCsr):
@@ -111,6 +112,70 @@ def dist_pagerank(mesh: Mesh, A: ShardedCsr, alpha, eps, axis="d"):
     return _dist_pagerank_impl(
         mesh, _arrays(A), jnp.float32(alpha), jnp.float32(eps),
         A.shape[0], A.mloc, A.n_shards, axis,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards"))
+def _dist_pagerank_overlap_impl(mesh, d_arrs, o_arrs, alpha, eps, n, mloc,
+                                n_shards, axis):
+    def step(*arrs):
+        d_arrs = arrs[:6]
+        o_arrs = arrs[6:]
+        a_diag = CsrMatrix(
+            shape=(mloc, mloc),
+            indptr=d_arrs[0][0], cols=d_arrs[1][0], values=d_arrs[2][0],
+            row_ids=d_arrs[3][0], nnz=d_arrs[4][0], fill=d_arrs[5],
+        )
+        a_off = CsrMatrix(
+            shape=(mloc, n_shards * mloc),
+            indptr=o_arrs[0][0], cols=o_arrs[1][0], values=o_arrs[2][0],
+            row_ids=o_arrs[3][0], nnz=o_arrs[4][0], fill=o_arrs[5],
+        )
+        my = lax.axis_index(axis)
+        addition = (1.0 - alpha) / n
+        gids = my * mloc + jnp.arange(mloc, dtype=jnp.int32)
+        live = gids < n
+        p0 = jnp.where(live, jnp.full((mloc,), 1.0 / n, jnp.float32), 0.0)
+
+        def cond(state):
+            return (state[1] > eps) & (state[2] < 10_000)
+
+        def body(state):
+            p_prev, _, it = state
+            # the all-gather has no dependency on the DIAGONAL product:
+            # XLA's latency-hiding scheduler runs the collective behind
+            # the local compute (the north-star overlap; SURVEY §2.8)
+            p_full = lax.all_gather(p_prev, axis, tiled=True)
+            local, _ = masked_spmv(a_diag, p_prev, OP.MULT_FLOAT,
+                                   OP.PLUS_FLOAT, jnp.float32(0))
+            remote, _ = masked_spmv(a_off, p_full, OP.MULT_FLOAT,
+                                    OP.PLUS_FLOAT, jnp.float32(0))
+            p = jnp.where(live, local + remote + addition, 0.0)
+            err2 = lax.psum(jnp.sum((p - p_prev) ** 2), axis)
+            return (p, jnp.sqrt(err2), it + 1)
+
+        p, _, _ = lax.while_loop(
+            cond, body, (p0, jnp.float32(eps) + 0.1, jnp.int32(0))
+        )
+        return p[None]
+
+    f = jax.shard_map(
+        step, mesh=mesh, in_specs=(*_ARR_SPECS, *_ARR_SPECS),
+        out_specs=P(axis),
+    )
+    return f(*d_arrs, *o_arrs)
+
+
+def dist_pagerank_overlap(mesh: Mesh, diag: ShardedCsr, off: ShardedCsr,
+                          alpha, eps, axis="d"):
+    """PageRank over the diagonal/off-diagonal split
+    (:func:`~spla_tpu.parallel.dist_matrix.shard_csr_split_diag`): the
+    per-step all-gather overlaps the communication-free diagonal-block
+    SpMV.  Result identical to :func:`dist_pagerank`."""
+    assert diag.shape[0] == off.shape[0] and diag.mloc == off.mloc
+    return _dist_pagerank_overlap_impl(
+        mesh, _arrays(diag), _arrays(off), jnp.float32(alpha),
+        jnp.float32(eps), off.shape[0], off.mloc, off.n_shards, axis,
     )
 
 

@@ -365,3 +365,23 @@ def test_balanced_sharding_skewed_graph(mesh):
     ).ravel()
     v_old = v_new[new_of_old]
     np.testing.assert_array_equal(v_old, bfs_naive(adj, src))
+
+
+def test_dist_pagerank_overlap_matches(mesh):
+    """Diagonal/off-diagonal split PageRank (gather overlapped with the
+    communication-free diagonal product) matches the plain version."""
+    from spla_tpu.parallel import dist_pagerank_overlap, shard_csr_split_diag
+
+    n = 130
+    A = random_undirected(n, 5, 21).astype(np.float32)
+    outdeg = np.asarray(A.sum(axis=0)).ravel()
+    outdeg[outdeg == 0] = 1.0
+    As = F.csr_from_scipy(A.multiply(0.85 / outdeg).tocsr().astype(np.float32))
+    sc = shard_csr_by_rows(As, 8, mesh)
+    diag, off = shard_csr_split_diag(As, 8, mesh)
+    # split preserves the edge mass
+    assert int(np.asarray(diag.nnz).sum() + np.asarray(off.nnz).sum()) \
+        == int(np.asarray(As.nnz))
+    p0 = np.asarray(dist_pagerank(mesh, sc, 0.85, 1e-6)).ravel()
+    p1 = np.asarray(dist_pagerank_overlap(mesh, diag, off, 0.85, 1e-6)).ravel()
+    np.testing.assert_allclose(p1, p0, rtol=1e-5, atol=1e-9)
