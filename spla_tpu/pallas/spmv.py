@@ -1248,6 +1248,11 @@ class FusedCellSpmv:
     # with the monoid (``alias_combine`` — the op_add scatter kind).
     # m is the EXTENDED height; m_orig = m - len(row_alias_src).
     row_alias_src: jax.Array | None = None
+    # the alias FOLD as a (m_orig x n_alias) fused format — one entry per
+    # alias, rows = sources; apply folds alias outputs through the kernel
+    # (an XLA scatter of 300K adds measured ~1.4 ms; the kernel ~0.1 ms).
+    # None -> apply falls back to the scatter.
+    fold_fmt: "FusedCellSpmv | None" = None
 
     @property
     def m_orig(self) -> int:
@@ -1264,12 +1269,33 @@ jax.tree_util.register_dataclass(
     FusedCellSpmv,
     data_fields=["fused", "rb_of_tile", "wb_of_batch", "ow_of_batch",
                  "col_old_of_new", "row_new_of_old", "alias_src",
-                 "row_alias_src"],
+                 "row_alias_src", "fold_fmt"],
     meta_fields=["m", "n", "cw", "n_row_blocks", "n_tiles", "slots", "nnz",
                  "layout", "vdtype"],
 )
 
 _VDTYPES = {"f32": jnp.float32, "i32": jnp.int32, "u32": jnp.uint32}
+
+
+def _take_x(_vals, x):
+    """Fold-format multiply: the gathered x IS the product (the fold
+    matrix's stored values are ignored)."""
+    return x
+
+
+# (vdtype, alias_combine kind) -> (combine fn, identity) for the
+# row-alias output fold
+_ALIAS_COMBINE = {
+    ("f32", "add"): (jnp.add, 0.0),
+    ("f32", "min"): (jnp.minimum, float("inf")),
+    ("f32", "max"): (jnp.maximum, float("-inf")),
+    ("i32", "add"): (jnp.add, 0.0),
+    ("i32", "min"): (jnp.minimum, float(2**31 - 1)),
+    ("i32", "max"): (jnp.maximum, float(-(2**31))),
+    ("u32", "add"): (jnp.add, 0.0),
+    ("u32", "min"): (jnp.minimum, float(2**32 - 1)),
+    ("u32", "max"): (jnp.maximum, 0.0),
+}
 
 
 def _auto_cw(m, n, nnz, pattern):
@@ -1295,7 +1321,14 @@ def _split_hub_columns(cols, n, thresh):
     ``n + j`` reads ``x[alias_src[j]]``.  Entry k (in row-sorted order)
     of a heavy column goes to clone ``k % n_clones`` — consecutive
     entries (adjacent row blocks) land on different clones, so every
-    cell's per-lane load drops by the clone count."""
+    cell's per-lane load drops by the clone count.
+
+    Alias ids are LAYER-MAJOR (clone layer outer, source inner): the
+    aliases of one source sit ~|heavy| apart, so a mega-hub's aliases
+    spread across id windows — which keeps the row-alias FOLD matrix
+    (one entry per alias, row = source) unskewed and lets it ride the
+    fused kernel itself instead of an XLA scatter (measured ~1.4 ms for
+    300K scattered adds vs ~0.1 ms of kernel time)."""
     cols = np.asarray(cols)
     deg = np.bincount(cols, minlength=n).astype(np.int64)
     clones = np.maximum((deg + thresh - 1) // thresh, 1)
@@ -1311,15 +1344,24 @@ def _split_hub_columns(cols, n, thresh):
     ranks[order] = np.arange(cols.shape[0], dtype=np.int64) \
         - starts[cols[order]]
     clone = ranks % clones[cols]
-    off = np.zeros(n, np.int64)
-    np.cumsum(extras[:-1], out=off[1:])
+    # layer-major alias ids: list (source h, layer j) pairs grouped by h,
+    # then sort by (j, h); pos[] maps each (h, j) to its final id
+    h_rep = np.repeat(np.arange(n, dtype=np.int64), extras)
+    j_rep = np.arange(total_extra, dtype=np.int64) \
+        - np.repeat(np.cumsum(extras) - extras, extras)
+    lm_order = np.lexsort((h_rep, j_rep))
+    alias_src = h_rep[lm_order].astype(np.int32)
+    pos = np.empty(total_extra, np.int64)
+    pos[lm_order] = np.arange(total_extra, dtype=np.int64)
+    # pos is grouped by h with j ascending (h_rep layout): alias id of
+    # (h, clone c) = pos[alias_start[h] + c - 1]
+    alias_start = np.zeros(n, np.int64)
+    np.cumsum(extras[:-1], out=alias_start[1:])
     new_cols = np.where(
-        clone == 0, cols, n + off[cols] + clone - 1
+        clone == 0,
+        cols,
+        n + pos[np.clip(alias_start[cols] + clone - 1, 0, total_extra - 1)],
     ).astype(np.int32)
-    alias_src = np.repeat(
-        np.nonzero(extras)[0].astype(np.int32),
-        extras[extras > 0].astype(np.int64),
-    )
     return new_cols, n + total_extra, alias_src
 
 
@@ -1389,7 +1431,7 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
     if cw is None:
         cw = _auto_cw(m, n, int(np.asarray(rows).shape[0]), pattern)
     assert cw & (cw - 1) == 0 and 1024 <= cw <= 32768, cw
-    alias_src = row_alias_src = None
+    alias_src = row_alias_src = fold_fmt = None
     if split_hubs:
         if isinstance(split_hubs, int) and split_hubs is not True:
             thresh_rows = thresh_cols = split_hubs
@@ -1403,6 +1445,7 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
             nrb0 = (m + ROW_BLOCK - 1) // ROW_BLOCK
             thresh_rows = max(32, 2 * nw)
             thresh_cols = max(64, 8 * nrb0)
+        m0 = m
         cols, n, alias_src = _split_hub_columns(cols, n, thresh_cols)
         rows, m, row_alias_src = _split_hub_columns(rows, m, thresh_rows)
         if alias_src is not None:
@@ -1414,6 +1457,21 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
             rows = np.ascontiguousarray(np.asarray(rows)[srt])
             cols = np.ascontiguousarray(np.asarray(cols)[srt])
             vals = np.ascontiguousarray(np.asarray(vals)[srt])
+            # the alias FOLD as its own fused format (one entry per
+            # alias; the layer-major alias layout keeps it unskewed)
+            fa_src = np.asarray(row_alias_src)
+            n_alias = fa_src.size
+            f_srt = np.argsort(fa_src, kind="stable")
+            f_rows = fa_src[f_srt].astype(np.int32)
+            f_cols = f_srt.astype(np.int32)
+            if values_int:
+                f_vals = np.ones(n_alias, np.int32
+                                 if vdtype == "i32" else np.uint32)
+            else:
+                f_vals = np.ones(n_alias, np.float32)
+            fold_fmt = build_fused_cell_spmv_arrays(
+                m0, n_alias, f_rows, f_cols, f_vals, cw=16384,
+                values_int=values_int)
             row_alias_src = jnp.asarray(row_alias_src)
     col_old_of_new = row_new_of_old = None
     if reorder:
@@ -1548,6 +1606,7 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
         vdtype=vdtype,
         alias_src=alias_src,
         row_alias_src=row_alias_src,
+        fold_fmt=fold_fmt,
     )
 
 
@@ -1973,7 +2032,16 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
             "row-hub formats need alias_combine = op_add's scatter kind"
         m0 = fmt.m - fmt.row_alias_src.shape[0]
         base, extra = flat[:m0], flat[m0:]
-        flat = getattr(base.at[fmt.row_alias_src], alias_combine)(extra)
+        comb_fn, comb_ident = _ALIAS_COMBINE[(fmt.vdtype, alias_combine)]
+        if fmt.fold_fmt is not None:
+            # fold through the kernel: ~0.1 ms where the XLA scatter
+            # measured ~1.4 ms at 300K aliases
+            folded = fused_cell_spmv_apply(
+                fmt.fold_fmt, extra, op_mul=_take_x, op_add=comb_fn,
+                identity=comb_ident)
+            flat = comb_fn(base, folded)
+        else:
+            flat = getattr(base.at[fmt.row_alias_src], alias_combine)(extra)
     return flat
 
 
