@@ -451,27 +451,44 @@ def main():
                             dtype=np.float32)
     from spla_tpu.ops.spmv import best_spmv_fn as _bfn
 
-    sk_fn = _bfn(Sk, FLOAT_MULT, FLOAT_PLUS, jnp.float32(0))
     snnz = int(np.asarray(Sk.nnz))
+    # the format travels as a jit ARGUMENT (the way pr() threads it) —
+    # closing over it would bake ~200 MB of constants into the HLO and
+    # the remote compile service rejects the request with HTTP 413
+    from spla_tpu.pallas.spmv import (
+        fused_cell_spmv_apply, get_balanced_fused_format, is_skewed)
 
-    @jax.jit
-    def sk_step(y, k):
-        o = sk_fn(Sk, y)
-        return o * ((1.0 + k * 1e-6) / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
+    fmtB = get_balanced_fused_format(Sk) if is_skewed(Sk) else None
+    if fmtB is not None:
+        from jax import lax as _lax
 
-    xs0 = jnp.asarray(rngs.random(ns, np.float32))
-    np.asarray(sk_step(xs0, jnp.float32(0)))  # warm-up
-    sreps = 50
-    dts = float("inf")
-    for _ in range(2):
-        y = xs0
-        t0 = time.perf_counter()
-        for k in range(sreps):
-            y = sk_step(y, jnp.float32(k % 97))
-        np.asarray(jnp.sum(jnp.abs(y)))
-        dts = min(dts, (time.perf_counter() - t0) / sreps)
-    emit("skewed_spmv_gbps", (snnz * 12 + ns * 8) / dts / 1e9, "GB/s",
-         n=ns, nnz=snnz, ms=round(dts * 1e3, 3), device=dev)
+        def _mult2(a, b):
+            return a * b
+
+        sreps = 50
+
+        # chain INSIDE one jit (fori_loop): a per-dispatch chain at this
+        # size measures the ~2.7 ms transport floor, not the device
+        @jax.jit
+        def sk_chain(fmt, x0):
+            def body(k, y):
+                o = fused_cell_spmv_apply(fmt, y, op_mul=_mult2,
+                                          op_add=jnp.add, identity=0.0,
+                                          alias_combine="add")
+                return o * ((1.0 + k * 1e-6)
+                            / (jnp.max(jnp.abs(o)) + jnp.float32(1e-30)))
+            return _lax.fori_loop(0, sreps, body, x0)
+
+        xs0 = jnp.asarray(rngs.random(ns, np.float32))
+        np.asarray(jnp.sum(sk_chain(fmtB, xs0)))  # warm-up
+        dts = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jnp.sum(jnp.abs(sk_chain(fmtB, xs0))))
+            dts = min(dts, (time.perf_counter() - t0) / sreps)
+        emit("skewed_spmv_gbps", (snnz * 12 + ns * 8) / dts / 1e9, "GB/s",
+             n=ns, nnz=snnz, ms=round(dts * 1e3, 3),
+             padding=round(fmtB.slots / fmtB.nnz, 3), device=dev)
 
     # ---- SpGEMM (masked mxmT, triangle counting core) ----
     nt = 1 << (12 if args.small else 15)

@@ -1469,9 +1469,15 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
                                  if vdtype == "i32" else np.uint32)
             else:
                 f_vals = np.ones(n_alias, np.float32)
+            # split_hubs=True RECURSES: a mega-row with k aliases still
+            # lands ~k/n_windows entries per fold cell (one output
+            # position each), so the fold's own heavy rows split again —
+            # each level shrinks by the threshold factor and the
+            # recursion terminates (measured: depth 2-3, fold pad
+            # 223 -> ~2 on zipf-2.1)
             fold_fmt = build_fused_cell_spmv_arrays(
                 m0, n_alias, f_rows, f_cols, f_vals, cw=16384,
-                values_int=values_int)
+                values_int=values_int, split_hubs=True)
             row_alias_src = jnp.asarray(row_alias_src)
     col_old_of_new = row_new_of_old = None
     if reorder:
@@ -2038,7 +2044,7 @@ def fused_cell_spmv_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
             # measured ~1.4 ms at 300K aliases
             folded = fused_cell_spmv_apply(
                 fmt.fold_fmt, extra, op_mul=_take_x, op_add=comb_fn,
-                identity=comb_ident)
+                identity=comb_ident, alias_combine=alias_combine)
             flat = comb_fn(base, folded)
         else:
             flat = getattr(base.at[fmt.row_alias_src], alias_combine)(extra)
@@ -2882,15 +2888,21 @@ def is_skewed(A: CsrMatrix) -> bool:
 
 
 def get_balanced_fused_format(A: CsrMatrix, cw: int | None = None):
-    """Fused layout with hub splitting + degree-aware relabeling — the
-    dispatch choice for skewed graphs (requires alias_combine at apply)."""
+    """Fused layout with hub splitting — the dispatch choice for skewed
+    graphs (requires alias_combine at apply).
+
+    reorder=False deliberately: splitting does the balancing on hub
+    graphs (zipf pad 1.40 vs 1.41 with relabeling) while the relabeling
+    permutations cost two O(n) XLA gathers per apply (~12 ns/element —
+    measured 7.16 -> 2.27 ms/SpMV on the zipf bench when dropped).
+    Request `build_fused_cell_spmv_arrays(reorder=True)` explicitly for
+    clustered-degree graphs without hubs, where dealing is the lever."""
     if not _FORMAT_CACHE.contains(A.values, ("fbal", cw)):
         rows, cols, vals = host_coo(A)
         m, n = A.shape
         try:
             fmt = build_fused_cell_spmv_arrays(
-                m, n, rows, cols, vals, cw=cw, split_hubs=True,
-                reorder=True)
+                m, n, rows, cols, vals, cw=cw, split_hubs=True)
         except Exception:
             fmt = None
         _FORMAT_CACHE.put(A.values, fmt, ("fbal", cw))
