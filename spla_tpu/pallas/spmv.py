@@ -1602,7 +1602,10 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
     return FusedCellSpmv(
         m=m, n=n, cw=cw, n_row_blocks=n_rb, n_tiles=int(nt),
         fused=fused_dev,
-        rb_of_tile=jnp.asarray(rb_t),
+        # int16 halves the scalar-prefetch footprint: at 134M edges the
+        # int32 rb stream (1.6 MB) exceeded the 1 MB SMEM budget; rb
+        # values are < FUSED_MAX_RB = 1024, kernels cast at read
+        rb_of_tile=jnp.asarray(np.asarray(rb_t, np.int16)),
         wb_of_batch=jnp.asarray(wb_t[::FUSED_K].copy()),
         slots=int(nt) * TILE, nnz=nnz,
         layout=layout,
@@ -1745,7 +1748,7 @@ def _make_oct_body(op_mul, op_add, identity, cwr, layout):
                 parts[t].append(jnp.where(tsel == t, gk, ident))
         for t in range(8):
             delta = jnp.concatenate(parts[t], axis=0)
-            g0 = rb_ref[rb_base + 8 * o + t] * 128
+            g0 = rb_ref[rb_base + 8 * o + t].astype(jnp.int32) * 128
             out_ref[pl.ds(g0, 128)] = op_add(out_ref[pl.ds(g0, 128)], delta)
 
     return oct_body
@@ -1829,9 +1832,9 @@ def _make_pair_body(op_mul, op_add, identity, cwr, layout,
             partsB.append(jnp.where(isA, ident, gkB))
         deltaA = jnp.concatenate(partsA, axis=0)
         deltaB = jnp.concatenate(partsB, axis=0)
-        g0A = rb_ref[rb_off] * 128
+        g0A = rb_ref[rb_off].astype(jnp.int32) * 128
         out_ref[pl.ds(g0A, 128)] = op_add(out_ref[pl.ds(g0A, 128)], deltaA)
-        g0B = rb_ref[rb_off + 1] * 128
+        g0B = rb_ref[rb_off + 1].astype(jnp.int32) * 128
         out_ref[pl.ds(g0B, 128)] = op_add(out_ref[pl.ds(g0B, 128)], deltaB)
 
     def pair_body(p, rb_base, rb_ref, f_ref, x_ref, out_ref):
@@ -1958,7 +1961,7 @@ def _make_fused_kernel(op_mul, op_add, identity, cwr, n_rb, layout,
                     gk = jnp.take_along_axis(psort, jnp.minimum(sk, 7), axis=0)
                     parts.append(jnp.where(sk < 8, gk, ident))
                 delta = jnp.concatenate(parts, axis=0)
-                g0 = rb_ref[c * FUSED_K + j] * 128
+                g0 = rb_ref[c * FUSED_K + j].astype(jnp.int32) * 128
                 out_ref[pl.ds(g0, 128)] = op_add(out_ref[pl.ds(g0, 128)], delta)
 
         if gated:
@@ -2255,7 +2258,7 @@ def _make_sparse_fused_kernel(op_mul, op_add, identity, cwr, layout):
                     gk = jnp.take_along_axis(psort, jnp.minimum(sk, 7), axis=0)
                     parts.append(jnp.where(sk < 8, gk, ident))
                 delta = jnp.concatenate(parts, axis=0)
-                g0 = rb_ref[b * FUSED_K + j] * 128
+                g0 = rb_ref[b * FUSED_K + j].astype(jnp.int32) * 128
                 out_ref[pl.ds(g0, 128)] = op_add(out_ref[pl.ds(g0, 128)], delta)
 
     return kernel
@@ -2519,10 +2522,10 @@ def _make_resident_kernel(kind, layout, cwr, nb, n_rb, max_iters):
                             partsB.append(jnp.where(isA, ident, gkB))
                         deltaA = jnp.concatenate(partsA, axis=0)
                         deltaB = jnp.concatenate(partsB, axis=0)
-                        g0A = rb_ref[b * FUSED_K + 2 * p] * 128
+                        g0A = rb_ref[b * FUSED_K + 2 * p].astype(jnp.int32) * 128
                         hits_ref[pl.ds(g0A, 128)] = op_acc(
                             hits_ref[pl.ds(g0A, 128)], deltaA)
-                        g0B = rb_ref[b * FUSED_K + 2 * p + 1] * 128
+                        g0B = rb_ref[b * FUSED_K + 2 * p + 1].astype(jnp.int32) * 128
                         hits_ref[pl.ds(g0B, 128)] = op_acc(
                             hits_ref[pl.ds(g0B, 128)], deltaB)
 
