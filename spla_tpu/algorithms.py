@@ -123,6 +123,70 @@ def _structural_or(av, xv):
     return xv  # values are {0,1}; MAX accumulation = boolean OR
 
 
+@jax.jit
+def _bfs_kernel_pallas_balanced(fmt, source):
+    """BFS level loop over the hub-split (balanced) structural format —
+    the Pallas path for SKEWED graphs (social-network class), which the
+    resident/adaptive formats cannot serve (they keep x pre-windowed and
+    cannot carry alias columns).  Plain per-level kernel applies with
+    the alias-max fold; semantics of :func:`_bfs_kernel`."""
+    from .pallas.spmv import fused_cell_spmv_apply
+
+    n = fmt.m_orig
+    v0 = jnp.zeros((n,), jnp.int32)
+    front0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
+
+    def cond(state):
+        return state[3] > 0
+
+    def body(state):
+        v, front, depth, _ = state
+        v = jnp.where(front > 0, depth, v)
+        hits = fused_cell_spmv_apply(fmt, front, op_mul=_mult,
+                                     op_add=jnp.maximum, identity=0.0,
+                                     alias_combine="max")
+        front_new = jnp.where((hits > 0) & (v == 0), 1.0, 0.0)
+        return (v, front_new, depth + 1,
+                jnp.sum(front_new > 0).astype(jnp.int32))
+
+    v, _, _, _ = lax.while_loop(
+        cond, body, (v0, front0, jnp.int32(1), jnp.int32(1))
+    )
+    return v
+
+
+@jax.jit
+def _sssp_kernel_pallas_balanced(fmt, source):
+    """Min-plus relaxation over the hub-split value format: the feedback
+    validity mask becomes the +inf absorbing input (products from
+    unchanged entries cannot win a min); semantics of
+    :func:`_sssp_kernel`.  Requires finite weights (caller gates)."""
+    from .pallas.spmv import fused_cell_spmv_apply
+
+    n = fmt.m_orig
+    inf = jnp.float32(jnp.inf)
+    v0 = jnp.full((n,), inf, jnp.float32).at[source].set(0.0)
+    valid0 = jnp.zeros((n,), jnp.bool_).at[source].set(True)
+
+    def cond(state):
+        return state[2] > 0
+
+    def body(state):
+        v, fdb_valid, _ = state
+        x = jnp.where(fdb_valid, v, inf)
+        # identity must be a PYTHON float (static jit arg of the apply)
+        frontier = fused_cell_spmv_apply(fmt, x, op_mul=_minplus_mul,
+                                         op_add=jnp.minimum,
+                                         identity=float("inf"),
+                                         alias_combine="min")
+        new_v = jnp.minimum(v, frontier)
+        changed = new_v != v
+        return (new_v, changed, jnp.sum(changed).astype(jnp.int32))
+
+    v, _, _ = lax.while_loop(cond, body, (v0, valid0, jnp.int32(1)))
+    return v
+
+
 def _monoid_apply(fmt):
     """Pick the apply fn matching the format type (fused routeless, S-table
     scatter, or the mode-1 sweep)."""
@@ -262,18 +326,34 @@ def bfs(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
     """
     if At is None:
         At = _default_At(A)
-    if _on_tpu() and not _skewed(At):
-        from .pallas.spmv import get_best_monoid_format, get_structural_format
+    if _on_tpu():
+        if _skewed(At):
+            # hub graphs: the resident/adaptive formats cannot carry
+            # aliases; run plain per-level applies over the hub-split
+            # structural format instead (social-network-class BFS)
+            from .pallas.spmv import get_balanced_fused_format
 
-        fmtM, _ = get_best_monoid_format(At, structural=True)
-        if fmtM is not None:
-            v = _bfs_kernel_pallas(fmtM, jnp.asarray(source, jnp.int32),
-                                   front_factor=_front_factor_of(descriptor))
+            fmtB = get_balanced_fused_format(At, structural=True)
+            if fmtB is not None:
+                v = _bfs_kernel_pallas_balanced(
+                    fmtB, jnp.asarray(source, jnp.int32))
+                return DenseVec(v, jnp.int32(0))
         else:
-            fmt = get_structural_format(At)
-            v = _bfs_kernel_pallas(fmt, jnp.asarray(source, jnp.int32),
-                                   monoid=False)
-        return DenseVec(v, jnp.int32(0))
+            from .pallas.spmv import (
+                get_best_monoid_format,
+                get_structural_format,
+            )
+
+            fmtM, _ = get_best_monoid_format(At, structural=True)
+            if fmtM is not None:
+                v = _bfs_kernel_pallas(
+                    fmtM, jnp.asarray(source, jnp.int32),
+                    front_factor=_front_factor_of(descriptor))
+            else:
+                fmt = get_structural_format(At)
+                v = _bfs_kernel_pallas(fmt, jnp.asarray(source, jnp.int32),
+                                       monoid=False)
+            return DenseVec(v, jnp.int32(0))
     v = _bfs_kernel(At, jnp.asarray(source, jnp.int32))
     return DenseVec(v, jnp.int32(0))
 
@@ -433,14 +513,27 @@ def sssp(A: CsrMatrix, source: int, descriptor: Descriptor | None = None,
     them."""
     if At is None:
         At = _default_At(A)
-    if _on_tpu() and At.values.dtype == jnp.float32 and not _skewed(At):
-        from .pallas.spmv import get_best_monoid_format
+    if _on_tpu() and At.values.dtype == jnp.float32:
+        if _skewed(At):
+            from .ops.spmv import _matrix_finite
+            from .pallas.spmv import get_balanced_fused_format
 
-        fmt, _ = get_best_monoid_format(At)
-        if fmt is not None:
-            v = _sssp_kernel_pallas(fmt, jnp.asarray(source, jnp.int32),
-                                    front_factor=_front_factor_of(descriptor))
-            return DenseVec(v, jnp.float32(jnp.inf))
+            # +inf absorbing feedback requires finite weights
+            if _matrix_finite(At):
+                fmtB = get_balanced_fused_format(At)
+                if fmtB is not None:
+                    v = _sssp_kernel_pallas_balanced(
+                        fmtB, jnp.asarray(source, jnp.int32))
+                    return DenseVec(v, jnp.float32(jnp.inf))
+        else:
+            from .pallas.spmv import get_best_monoid_format
+
+            fmt, _ = get_best_monoid_format(At)
+            if fmt is not None:
+                v = _sssp_kernel_pallas(
+                    fmt, jnp.asarray(source, jnp.int32),
+                    front_factor=_front_factor_of(descriptor))
+                return DenseVec(v, jnp.float32(jnp.inf))
     v = _sssp_kernel(At, jnp.asarray(source, jnp.int32))
     return DenseVec(v, jnp.float32(jnp.inf))
 
@@ -508,8 +601,9 @@ def _skewed(A) -> bool:
     """Hub graphs: the resident/adaptive traversal formats cannot use
     alias splitting (x lives pre-windowed across levels), and the plain
     layouts pad catastrophically there (BENCH.md r4: zipf-2.1 padded
-    216x and packed for 489 s).  BFS/SSSP fall back to the XLA
-    while_loop on such graphs; PageRank uses the hub-split format."""
+    216x and packed for 489 s).  BFS/SSSP/PageRank route to the
+    hub-split (balanced) formats with plain per-level kernel applies
+    instead."""
     try:
         from .pallas.spmv import is_skewed
 

@@ -2890,9 +2890,12 @@ def is_skewed(A: CsrMatrix) -> bool:
     return max(rmax, cmax) > 4 * avg + 128
 
 
-def get_balanced_fused_format(A: CsrMatrix, cw: int | None = None):
+def get_balanced_fused_format(A: CsrMatrix, cw: int | None = None,
+                              structural: bool = False):
     """Fused layout with hub splitting — the dispatch choice for skewed
-    graphs (requires alias_combine at apply).
+    graphs (requires alias_combine at apply).  ``structural=True`` packs
+    A's PATTERN (all-ones values, value rows elided) for BFS-class
+    traversal.
 
     reorder=False deliberately: splitting does the balancing on hub
     graphs (zipf pad 1.40 vs 1.41 with relabeling) while the relabeling
@@ -2900,16 +2903,18 @@ def get_balanced_fused_format(A: CsrMatrix, cw: int | None = None):
     measured 7.16 -> 2.27 ms/SpMV on the zipf bench when dropped).
     Request `build_fused_cell_spmv_arrays(reorder=True)` explicitly for
     clustered-degree graphs without hubs, where dealing is the lever."""
-    if not _FORMAT_CACHE.contains(A.values, ("fbal", cw)):
-        rows, cols, vals = host_coo(A)
+    key = ("fbal_s" if structural else "fbal", cw)
+    if not _FORMAT_CACHE.contains(A.values, key):
+        rows, cols, vals = host_coo(A, pattern=structural)
         m, n = A.shape
         try:
             fmt = build_fused_cell_spmv_arrays(
-                m, n, rows, cols, vals, cw=cw, split_hubs=True)
+                m, n, rows, cols, vals, cw=cw, split_hubs=True,
+                pattern=structural)
         except Exception:
             fmt = None
-        _FORMAT_CACHE.put(A.values, fmt, ("fbal", cw))
-    return _FORMAT_CACHE.get(A.values, ("fbal", cw))
+        _FORMAT_CACHE.put(A.values, fmt, key)
+    return _FORMAT_CACHE.get(A.values, key)
 
 
 def get_best_monoid_format(A: CsrMatrix, structural: bool = False,

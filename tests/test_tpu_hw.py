@@ -301,3 +301,34 @@ def test_pr_skewed_hub_split_hw():
 
     pref = np.asarray(_pr_kernel(Ap, jnp2.float32(0.85), jnp2.float32(1e-6)))
     np.testing.assert_allclose(p, pref, rtol=1e-4, atol=1e-7)
+
+
+def test_bfs_sssp_skewed_balanced_hw():
+    """BFS and SSSP on a hub graph run the hub-split structural/value
+    formats (plain per-level applies + alias folds) and match oracles."""
+    from spla_tpu import algorithms as alg
+    from spla_tpu import formats as F
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    deg = np.minimum(rng.zipf(2.1, n) * 8, n // 8).astype(np.int64)
+    r = np.repeat(np.arange(n, dtype=np.int32), deg)
+    c = rng.integers(0, n, r.size, dtype=np.int32)
+    keep = r != c
+    w = rng.uniform(0.1, 2.0, keep.sum()).astype(np.float32)
+    A = sp.coo_matrix((w, (r[keep], c[keep])), shape=(n, n))
+    A = A.maximum(A.T).tocsr()  # undirected, weighted
+    Ac = F.csr_from_scipy(A)
+    from spla_tpu.pallas.spmv import is_skewed
+
+    assert is_skewed(Ac)
+    lev = np.asarray(alg.bfs(Ac, 0, At=Ac).values)
+    import scipy.sparse.csgraph as cg
+
+    ref = cg.shortest_path(A, method="D", unweighted=True, indices=0)
+    fin = np.isfinite(ref)
+    assert np.all(lev[fin] == ref[fin] + 1)
+    assert np.all(lev[~fin] == 0)
+    dist = np.asarray(alg.sssp(Ac, 0, At=Ac).values)
+    refd = cg.dijkstra(A, indices=0)
+    np.testing.assert_allclose(dist[fin], refd[fin], rtol=1e-5)
