@@ -490,6 +490,25 @@ def main():
              n=ns, nnz=snnz, ms=round(dts * 1e3, 3),
              padding=round(fmtB.slots / fmtB.nnz, 3), device=dev)
 
+    # ---- skewed-graph BFS (hub-split structural format) ----
+    from spla_tpu import algorithms as _alg
+
+    Skt = F.csr_transpose_host(Sk)
+    vb = _alg.bfs(Sk, 0, At=Skt)
+    np.asarray(jnp.sum(vb.values))  # warm-up (packs + compiles)
+    breps = 10
+    dtb = float("inf")
+    for _ in range(2):
+        src = jnp.asarray(0, jnp.int32)
+        t0 = time.perf_counter()
+        for k in range(breps):
+            vb = _alg.bfs(Sk, src, At=Skt)
+            src = (jnp.min(vb.values) * 0 + (k + 1) % 7).astype(jnp.int32)
+        np.asarray(src)
+        dtb = min(dtb, (time.perf_counter() - t0) / breps)
+    emit("skewed_bfs_gteps", snnz / dtb / 1e9, "GTEPS",
+         n=ns, nnz=snnz, ms=round(dtb * 1e3, 1), device=dev)
+
     # ---- SpGEMM (masked mxmT, triangle counting core) ----
     nt = 1 << (12 if args.small else 15)
     At = random_graph(nt, 24, seed=3)
