@@ -222,8 +222,24 @@ def dist_pagerank_pallas(mesh: Mesh, sc: ShardedCellSpmv, alpha, eps, axis="d"):
     )
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "meta"))
-def _dist_bfs_pallas(mesh, arrs, source, meta, axis):
+def _sparse_exchange_f01(front, my, mloc, cap, axis):
+    """f32 0/1 frontier -> gathered f32 0/1 frame via a capped index
+    all-gather (the dist_ops exchange in the kernel's dense-float
+    encoding)."""
+    n_pad_axis = lax.axis_size(axis) * mloc
+    (idx,) = jnp.nonzero(front > 0, size=cap, fill_value=mloc)
+    gidx = jnp.where(idx < mloc, my * mloc + idx.astype(jnp.int32),
+                     n_pad_axis)
+    all_idx = lax.all_gather(gidx.astype(jnp.int32), axis, tiled=True)
+    return (
+        jnp.zeros((n_pad_axis + 1,), jnp.float32)
+        .at[all_idx]
+        .set(1.0, mode="drop")[:n_pad_axis]
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "meta", "cap"))
+def _dist_bfs_pallas(mesh, arrs, source, meta, axis, cap):
     def step(*arrs):
         fmt = _local_fmt(meta, arrs)
         my = lax.axis_index(axis)
@@ -238,7 +254,19 @@ def _dist_bfs_pallas(mesh, arrs, source, meta, axis):
         def body(state):
             v, front, depth, _ = state
             v = jnp.where(front > 0, depth, v)
-            front_full = lax.all_gather(front, axis, tiled=True)
+            if cap > 0:
+                # capped-sparse halo exchange (see dist_ops): uniform
+                # pmax predicate keeps all chips on one branch
+                maxcnt = lax.pmax(
+                    jnp.sum(front > 0).astype(jnp.int32), axis)
+                front_full = lax.cond(
+                    maxcnt <= cap,
+                    lambda f: _sparse_exchange_f01(f, my, mloc, cap, axis),
+                    lambda f: lax.all_gather(f, axis, tiled=True),
+                    front,
+                )
+            else:
+                front_full = lax.all_gather(front, axis, tiled=True)
             hits = fused_cell_spmv_apply(
                 fmt, front_full, op_mul=_structural, op_add=jnp.maximum,
                 identity=0.0, skip_inactive=True,
@@ -257,11 +285,16 @@ def _dist_bfs_pallas(mesh, arrs, source, meta, axis):
     return f(*arrs)
 
 
-def dist_bfs_pallas(mesh: Mesh, sc: ShardedCellSpmv, source, axis="d"):
+def dist_bfs_pallas(mesh: Mesh, sc: ShardedCellSpmv, source, axis="d",
+                    frontier_cap: int | None = None):
     """Distributed BFS (structural max-or) with the Pallas kernel per
-    shard; depth vector row-sharded."""
+    shard; depth vector row-sharded.  Frontiers exchange via the
+    capped-sparse index gather (None = mloc/16, 0 = always dense)."""
+    if frontier_cap is None:
+        frontier_cap = max(sc.mloc // 16, 32)
     return _dist_bfs_pallas(
-        mesh, _arrs(sc), jnp.asarray(source, jnp.int32), _meta(sc), axis
+        mesh, _arrs(sc), jnp.asarray(source, jnp.int32), _meta(sc), axis,
+        frontier_cap,
     )
 
 
