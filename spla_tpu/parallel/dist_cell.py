@@ -298,8 +298,26 @@ def dist_bfs_pallas(mesh: Mesh, sc: ShardedCellSpmv, source, axis="d",
     )
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "meta"))
-def _dist_sssp_pallas(mesh, arrs, source, meta, axis):
+def _sparse_exchange_vals(v, changed, my, mloc, cap, axis, fill):
+    """(f32[mloc], bool[mloc]) -> f32[S*mloc] carrying only the <= cap
+    CHANGED values per shard; untouched slots arrive as ``fill`` (the
+    min-plus absorbing input)."""
+    n_pad_axis = lax.axis_size(axis) * mloc
+    (idx,) = jnp.nonzero(changed, size=cap, fill_value=mloc)
+    live = idx < mloc
+    gidx = jnp.where(live, my * mloc + idx.astype(jnp.int32), n_pad_axis)
+    gval = jnp.where(live, v[jnp.clip(idx, 0, mloc - 1)], fill)
+    all_idx = lax.all_gather(gidx.astype(jnp.int32), axis, tiled=True)
+    all_val = lax.all_gather(gval, axis, tiled=True)
+    return (
+        jnp.full((n_pad_axis + 1,), fill)
+        .at[all_idx]
+        .set(all_val, mode="drop")[:n_pad_axis]
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "meta", "cap"))
+def _dist_sssp_pallas(mesh, arrs, source, meta, axis, cap):
     def step(*arrs):
         fmt = _local_fmt(meta, arrs)
         my = lax.axis_index(axis)
@@ -307,22 +325,43 @@ def _dist_sssp_pallas(mesh, arrs, source, meta, axis):
         inf = jnp.float32(jnp.inf)
         gids = my * mloc + jnp.arange(mloc, dtype=jnp.int32)
         v0 = jnp.where(gids == source, 0.0, inf)
+        ch0 = gids == source
 
         def cond(state):
-            return (state[1] > 0) & (state[2] < jnp.int32(4 * meta[0] + 2))
+            return (state[2] > 0) & (state[3] < jnp.int32(4 * meta[0] + 2))
 
         def body(state):
-            v, _, it = state
-            v_full = lax.all_gather(v, axis, tiled=True)
+            v, changed, _, it = state
+            # the feedback vector IS the sparse payload: unchanged
+            # entries arrive as +inf (min-plus absorbing), so only
+            # changed (index, value) pairs need to move
+            if cap > 0:
+                maxcnt = lax.pmax(
+                    jnp.sum(changed).astype(jnp.int32), axis)
+                v_full = lax.cond(
+                    maxcnt <= cap,
+                    lambda vv, ch: _sparse_exchange_vals(
+                        vv, ch, my, mloc, cap, axis, inf),
+                    lambda vv, ch: jnp.where(
+                        lax.all_gather(ch, axis, tiled=True),
+                        lax.all_gather(vv, axis, tiled=True), inf),
+                    v, changed,
+                )
+            else:
+                v_full = jnp.where(
+                    lax.all_gather(changed, axis, tiled=True),
+                    lax.all_gather(v, axis, tiled=True), inf)
             frontier = fused_cell_spmv_apply(
                 fmt, v_full, op_mul=_minplus, op_add=jnp.minimum,
                 identity=float("inf"), skip_inactive=True,
             )
             new_v = jnp.minimum(v, frontier)
-            changed = lax.psum(jnp.sum(new_v != v).astype(jnp.int32), axis)
-            return (new_v, changed, it + 1)
+            ch = new_v != v
+            count = lax.psum(jnp.sum(ch).astype(jnp.int32), axis)
+            return (new_v, ch, count, it + 1)
 
-        v, _, _ = lax.while_loop(cond, body, (v0, jnp.int32(1), jnp.int32(0)))
+        v, _, _, _ = lax.while_loop(
+            cond, body, (v0, ch0, jnp.int32(1), jnp.int32(0)))
         return v[None]
 
     f = jax.shard_map(step, mesh=mesh, in_specs=(P(axis),) * 3,
@@ -330,8 +369,14 @@ def _dist_sssp_pallas(mesh, arrs, source, meta, axis):
     return f(*arrs)
 
 
-def dist_sssp_pallas(mesh: Mesh, sc: ShardedCellSpmv, source, axis="d"):
-    """Distributed SSSP (min-plus) with the Pallas kernel per shard."""
+def dist_sssp_pallas(mesh: Mesh, sc: ShardedCellSpmv, source, axis="d",
+                     frontier_cap: int | None = None):
+    """Distributed SSSP (min-plus) with the Pallas kernel per shard; the
+    changed-entry feedback exchanges via the capped-sparse (index, value)
+    gather (None = mloc/16, 0 = dense)."""
+    if frontier_cap is None:
+        frontier_cap = max(sc.mloc // 16, 32)
     return _dist_sssp_pallas(
-        mesh, _arrs(sc), jnp.asarray(source, jnp.int32), _meta(sc), axis
+        mesh, _arrs(sc), jnp.asarray(source, jnp.int32), _meta(sc), axis,
+        frontier_cap,
     )
