@@ -1176,3 +1176,37 @@ def test_int_native_format_builds():
     if fmt is None:
         pytest.skip("no native packer")
     assert fmt.vdtype == "i32"
+
+
+def test_split_hub_columns_fuzz():
+    """Property fuzz of the splitter across degree shapes (host-only):
+    mass conservation per source, degree bound, id-space bijection."""
+    from spla_tpu.pallas.spmv import _split_hub_columns
+
+    rng = np.random.default_rng(9)
+    cases = [
+        rng.integers(0, 50, 2000),                      # uniform-ish
+        np.repeat(np.arange(40), rng.integers(1, 400, 40)),  # clustered
+        np.full(777, 3),                                # single mega hub
+        np.concatenate([np.zeros(1, int), rng.integers(0, 9, 64)]),
+        rng.integers(0, 5, 1),                          # single entry
+    ]
+    for k, base in enumerate(cases):
+        cols = np.asarray(base, np.int64)
+        n = int(cols.max()) + 1 + int(rng.integers(0, 5))
+        for thresh in (8, 32, 301):
+            new_cols, n_ext, alias_src = _split_hub_columns(cols, n, thresh)
+            if alias_src is None:
+                assert n_ext == n
+                np.testing.assert_array_equal(new_cols, cols)
+                continue
+            assert n_ext == n + alias_src.shape[0]
+            assert new_cols.min() >= 0 and new_cols.max() < n_ext
+            deg_ext = np.bincount(new_cols, minlength=n_ext)
+            assert deg_ext.max() <= thresh, (k, thresh)
+            src_of = np.concatenate(
+                [np.arange(n), np.asarray(alias_src)])
+            total = np.bincount(src_of[new_cols], minlength=n)
+            np.testing.assert_array_equal(
+                total, np.bincount(cols, minlength=n), err_msg=str((k, thresh))
+            )
