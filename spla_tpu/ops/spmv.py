@@ -122,8 +122,13 @@ _DISPATCH_CACHE = _WeakIdCache()
 
 # observability: which path each public-op dispatch took (reference analog:
 # the dispatcher's per-key log lines, dispatcher.cpp:51-59).  Tests assert
-# on these; bench_suite reports them.
-DISPATCH_STATS = {"mxv_pallas": 0, "mxv_xla": 0, "vxm_pallas": 0, "vxm_xla": 0}
+# on these; bench_suite reports them.  *_tracer counts calls that fell to
+# the XLA path ONLY because they were traced inside a user jit (where the
+# eager Pallas dispatch cannot run; see docs/getting-started.md "Don't
+# wrap the facade in your own jit") — a nonzero count is the signal that
+# a user loop is silently paying the XLA-path cost.
+DISPATCH_STATS = {"mxv_pallas": 0, "mxv_xla": 0, "vxm_pallas": 0,
+                  "vxm_xla": 0, "mxv_tracer": 0, "vxm_tracer": 0}
 
 
 def _accel_enabled() -> bool:
@@ -346,13 +351,19 @@ def mxv_masked(
     Dispatches to the Pallas fused monoid kernel when accelerated (the
     reference's ``__cl``-preference, ``dispatcher.cpp:42-85``); the mask
     select is applied to the kernel's dense output."""
-    if _accel_enabled() and not _has_tracer(mask, M, v, init):
-        fn = _pallas_fn(M, op_mul, op_add, init)
-        if fn is not None:
-            DISPATCH_STATS["mxv_pallas"] += 1
-            init_a = _scalar(init, M.values.dtype)
-            vals = fn(M, v.values)
-            return _mxv_mask_post(vals, mask.values, op_select, init_a)
+    if _accel_enabled():
+        if _has_tracer(mask, M, v, init):
+            # traced inside a user jit: the XLA path participates in the
+            # caller's fusion; counted once per trace as the signal that
+            # a user loop bypasses the Pallas kernels (r4 verdict item 9)
+            DISPATCH_STATS["mxv_tracer"] += 1
+        else:
+            fn = _pallas_fn(M, op_mul, op_add, init)
+            if fn is not None:
+                DISPATCH_STATS["mxv_pallas"] += 1
+                init_a = _scalar(init, M.values.dtype)
+                vals = fn(M, v.values)
+                return _mxv_mask_post(vals, mask.values, op_select, init_a)
     DISPATCH_STATS["mxv_xla"] += 1
     return _mxv_masked_xla(mask, M, v, op_mul, op_add, op_select, init, desc)
 
@@ -401,12 +412,15 @@ def vxm_masked(
     absorb value, and structural stored-ness comes from the structural
     (pattern) kernel — two Pallas SpMVs instead of the XLA gather+
     sort-free segment pipeline (reference 3-phase ``cl_vxm.hpp:73-177``)."""
-    if _accel_enabled() and not _has_tracer(mask, v, M_t, init):
-        r = _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select, init,
-                             out_capacity)
-        if r is not None:
-            DISPATCH_STATS["vxm_pallas"] += 1
-            return r
+    if _accel_enabled():
+        if _has_tracer(mask, v, M_t, init):
+            DISPATCH_STATS["vxm_tracer"] += 1
+        else:
+            r = _vxm_accelerated(mask, v, M_t, op_mul, op_add, op_select,
+                                 init, out_capacity)
+            if r is not None:
+                DISPATCH_STATS["vxm_pallas"] += 1
+                return r
     DISPATCH_STATS["vxm_xla"] += 1
     return _vxm_masked_xla(mask, v, M_t, op_mul, op_add, op_select, init,
                            desc, out_capacity)
@@ -430,12 +444,15 @@ def vxm_masked_dense(
     compaction are unobservable through it.  The accelerated path is
     therefore ONE Pallas kernel (absorb-masked value pass + mask select)
     instead of vxm_masked's two plus compaction."""
-    if _accel_enabled() and not _has_tracer(mask, v, M_t, init):
-        r = _vxm_accelerated_dense(mask, v, M_t, op_mul, op_add, op_select,
-                                   init)
-        if r is not None:
-            DISPATCH_STATS["vxm_pallas"] += 1
-            return r
+    if _accel_enabled():
+        if _has_tracer(mask, v, M_t, init):
+            DISPATCH_STATS["vxm_tracer"] += 1
+        else:
+            r = _vxm_accelerated_dense(mask, v, M_t, op_mul, op_add,
+                                       op_select, init)
+            if r is not None:
+                DISPATCH_STATS["vxm_pallas"] += 1
+                return r
     DISPATCH_STATS["vxm_xla"] += 1
     return _vxm_masked_dense_xla(mask, v, M_t, op_mul, op_add, op_select,
                                  init, desc)

@@ -193,3 +193,32 @@ def test_vxm_masked_dense_equals_densified_sparse(rng):
             np.asarray(sparse_to_dense_vec(sparse).values),
             rtol=1e-6,
         )
+
+
+def test_dispatch_tracer_counter(monkeypatch):
+    """Inside a user jit the accelerated dispatch cannot run; the
+    tracer-path counter records it (r4 verdict item 9, documented in
+    docs/getting-started.md)."""
+    import jax
+
+    from spla_tpu.containers import DenseVec
+    from spla_tpu.ops import spmv as S
+
+    monkeypatch.setenv("SPLA_FORCE_PALLAS_DISPATCH", "1")
+    a = sp.random(300, 300, density=0.02, random_state=9,
+                  dtype=np.float32).tocsr()
+    A = F.csr_from_scipy(a)
+    mask = DenseVec(jnp.ones(300, jnp.float32), jnp.float32(0))
+
+    @jax.jit
+    def step(A, mask, x):
+        r = S.mxv_masked(mask, A, x, op.MULT_FLOAT, op.PLUS_FLOAT,
+                         op.ALWAYS_FLOAT, 0.0)
+        return r.values
+
+    before = dict(S.DISPATCH_STATS)
+    x = DenseVec(jnp.arange(300, dtype=jnp.float32), jnp.float32(0))
+    out = np.asarray(step(A, mask, x))
+    assert S.DISPATCH_STATS["mxv_tracer"] == before["mxv_tracer"] + 1
+    np.testing.assert_allclose(out, a @ np.arange(300), rtol=1e-4,
+                               atol=1e-4)
