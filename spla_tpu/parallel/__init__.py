@@ -27,9 +27,13 @@ from .dist_ops import (
 from .dist_cell import (
     ShardedCellSpmv,
     dist_bfs_pallas,
+    dist_bfs_pallas_overlap,
     dist_pagerank_pallas,
+    dist_pagerank_pallas_overlap,
     dist_sssp_pallas,
+    dist_sssp_pallas_overlap,
     shard_cell_spmv,
+    shard_cell_spmv_split,
 )
 from .dist_spgemm import (
     count_dist_mxm_cap,
@@ -56,6 +60,10 @@ __all__ = [
     "dist_pagerank_pallas",
     "dist_bfs_pallas",
     "dist_sssp_pallas",
+    "dist_pagerank_pallas_overlap",
+    "dist_bfs_pallas_overlap",
+    "dist_sssp_pallas_overlap",
+    "shard_cell_spmv_split",
     "dist_mxm",
     "dist_mxmT_masked_reduce",
     "dist_tc",

@@ -208,9 +208,34 @@ def _bfs_sparse_exchange(front, my, mloc, cap, axis):
     )
 
 
+def _normalize_caps(frontier_cap, mloc) -> tuple:
+    """Cap LADDER normalization (r4 verdict item 8): ``None`` = two-tier
+    default (mloc/256, mloc/16) so near-empty levels — thousands of them
+    on road-class graphs — ship ~frontier-sized payloads instead of the
+    single mloc/16 cap; int = one tier; 0 = always dense; tuple = custom
+    ascending ladder."""
+    if frontier_cap is None:
+        tiers = (max(mloc // 256, 32), max(mloc // 16, 32))
+    elif isinstance(frontier_cap, tuple):
+        tiers = frontier_cap
+    elif frontier_cap == 0:
+        return ()
+    else:
+        tiers = (int(frontier_cap),)
+    return tuple(sorted(set(int(c) for c in tiers if c > 0)))
+
+
+def _tiered_bytes(maxcnt, caps, dense_bytes, per_entry, n_shards):
+    """Logical gather bytes for the level: the smallest admitting tier."""
+    b = jnp.float32(dense_bytes)
+    for c in sorted(caps, reverse=True):
+        b = jnp.where(maxcnt <= c, jnp.float32(n_shards * c * per_entry), b)
+    return b
+
+
 @partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards",
-                                   "cap"))
-def _dist_bfs_impl(mesh, arrs, source, n, mloc, n_shards, axis, cap):
+                                   "caps"))
+def _dist_bfs_impl(mesh, arrs, source, n, mloc, n_shards, axis, caps):
     def step(*arrs):
         a = CsrMatrix(
             shape=(mloc, n_shards * mloc),
@@ -231,22 +256,22 @@ def _dist_bfs_impl(mesh, arrs, source, n, mloc, n_shards, axis, cap):
         def body(state):
             v, front, depth, _, comm, sp = state
             v = jnp.where(front, depth, v)
-            if cap > 0:
+            if caps:
                 maxcnt = lax.pmax(jnp.sum(front).astype(jnp.int32), axis)
-                use_sparse = maxcnt <= cap
-                front_full = lax.cond(
-                    use_sparse,
-                    lambda f: _bfs_sparse_exchange(f, my, mloc, cap, axis),
-                    lambda f: lax.all_gather(f, axis, tiled=True),
-                    front,
-                )
+                # tier ladder: try the smallest cap first, fall through
+                # tier by tier to dense (all pmax-uniform, so every chip
+                # takes the same branch at every level)
+                ex = lambda f: lax.all_gather(f, axis, tiled=True)  # noqa: E731
+                for c in sorted(caps, reverse=True):
+                    ex = (lambda f, c=c, inner=ex: lax.cond(
+                        maxcnt <= c,
+                        lambda g: _bfs_sparse_exchange(g, my, mloc, c, axis),
+                        inner, f))
+                front_full = ex(front)
                 # float32 accumulator: int32 would overflow past ~2 GB
-                comm = comm + jnp.where(
-                    use_sparse,
-                    jnp.float32(n_shards * cap * 4),
-                    jnp.float32(n_shards * mloc),
-                )
-                sp = sp + use_sparse.astype(jnp.int32)
+                comm = comm + _tiered_bytes(maxcnt, caps, n_shards * mloc,
+                                            4, n_shards)
+                sp = sp + (maxcnt <= max(caps)).astype(jnp.int32)
             else:
                 front_full = lax.all_gather(front, axis, tiled=True)
                 comm = comm + jnp.float32(n_shards * mloc)
@@ -274,15 +299,18 @@ def dist_bfs(mesh: Mesh, At: ShardedCsr, source, axis="d",
     exchanged per level via the capped-sparse index gather (halo
     exchange), dense gather past the cap; depths row-sharded.
 
-    ``frontier_cap``: per-shard sparse-exchange capacity (None = mloc/16
-    — the index payload is 4 B vs the dense gather's 1 B/vertex, so the
-    cap must sit well under mloc/4 to save volume; 0 = always dense).  ``with_stats``: also return
+    ``frontier_cap``: per-shard sparse-exchange capacity.  None = the
+    TIERED default ladder (mloc/256, mloc/16): near-empty levels (road
+    graphs run thousands) ship the small tier, denser fronts step up,
+    and the dense gather is the final fallback — the index payload is
+    4 B vs the dense gather's 1 B/vertex, so each tier must sit well
+    under mloc/4 to save volume.  An int pins one tier; a tuple is a
+    custom ladder; 0 = always dense.  ``with_stats``: also return
     ``{"comm_bytes", "sparse_levels", "levels"}`` (logical gather bytes)."""
-    if frontier_cap is None:
-        frontier_cap = max(At.mloc // 16, 32)
+    caps = _normalize_caps(frontier_cap, At.mloc)
     v, comm, sp, lev = _dist_bfs_impl(
         mesh, _arrays(At), jnp.asarray(source, jnp.int32),
-        At.shape[0], At.mloc, At.n_shards, axis, frontier_cap,
+        At.shape[0], At.mloc, At.n_shards, axis, caps,
     )
     if not with_stats:
         return v
@@ -320,8 +348,8 @@ def _sssp_sparse_exchange(v, changed, my, mloc, cap, axis, inf):
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "n", "mloc", "n_shards",
-                                   "cap"))
-def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis, cap):
+                                   "caps"))
+def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis, caps):
     inf = jnp.float32(jnp.inf)
 
     def step(*arrs):
@@ -347,24 +375,22 @@ def _dist_sssp_impl(mesh, arrs, source, n, mloc, n_shards, axis, cap):
 
         def body(state):
             v, fdb_valid, _, it, comm, sp = state
-            if cap > 0:
+            if caps:
                 maxcnt = lax.pmax(
                     jnp.sum(fdb_valid).astype(jnp.int32), axis
                 )
-                use_sparse = maxcnt <= cap
-                v_full, valid_full = lax.cond(
-                    use_sparse,
-                    lambda vv, ch: _sssp_sparse_exchange(
-                        vv, ch, my, mloc, cap, axis, inf),
-                    dense_exchange,
-                    v, fdb_valid,
-                )
-                comm = comm + jnp.where(
-                    use_sparse,
-                    jnp.float32(n_shards * cap * 8),
-                    jnp.float32(n_shards * mloc * 5),
-                )
-                sp = sp + use_sparse.astype(jnp.int32)
+                ex = dense_exchange
+                for c in sorted(caps, reverse=True):
+                    ex = (lambda vv, ch, c=c, inner=ex: lax.cond(
+                        maxcnt <= c,
+                        lambda v2, c2: _sssp_sparse_exchange(
+                            v2, c2, my, mloc, c, axis, inf),
+                        inner, vv, ch))
+                v_full, valid_full = ex(v, fdb_valid)
+                comm = comm + _tiered_bytes(maxcnt, caps,
+                                            n_shards * mloc * 5, 8,
+                                            n_shards)
+                sp = sp + (maxcnt <= max(caps)).astype(jnp.int32)
             else:
                 v_full, valid_full = dense_exchange(v, fdb_valid)
                 comm = comm + jnp.float32(n_shards * mloc * 5)
@@ -395,12 +421,12 @@ def dist_sssp(mesh: Mesh, At: ShardedCsr, source, axis="d",
               frontier_cap: int | None = None, with_stats: bool = False):
     """Distributed SSSP: min-plus relaxation; the feedback (changed)
     vector is exchanged per round via the capped-sparse (index, value)
-    gather, dense past the cap (see the exchange note above)."""
-    if frontier_cap is None:
-        frontier_cap = max(At.mloc // 16, 32)
+    gather with the tiered cap ladder, dense past the top tier (see
+    :func:`dist_bfs`)."""
+    caps = _normalize_caps(frontier_cap, At.mloc)
     v, comm, sp, it = _dist_sssp_impl(
         mesh, _arrays(At), jnp.asarray(source, jnp.int32),
-        At.shape[0], At.mloc, At.n_shards, axis, frontier_cap,
+        At.shape[0], At.mloc, At.n_shards, axis, caps,
     )
     if not with_stats:
         return v
