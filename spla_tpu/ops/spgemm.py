@@ -64,6 +64,193 @@ def count_mxmT_products(mask: CsrMatrix, B: CsrMatrix) -> int:
     return int(deg_b[m_cols].sum())
 
 
+# ---------------------------------------------------------------------------
+# Pallas ESC numeric phase (r4 verdict item 5).
+#
+# Key insight: the WHOLE expand-sort-fold structure of mxm(A, B) is a pure
+# function of the two SPARSITY PATTERNS — per-product source positions,
+# the (i, j) sort permutation, the fold groups, and the output CSR
+# skeleton are all value-independent.  The host computes them once
+# (cached per pattern pair; the reference's symbolic phase played the
+# same role, ``kernels/vxm.cl:30-55``) and packs them as three fused
+# PATTERN formats:
+#
+#   pa = P_A @ A.values      (gather: product p's A-side value)
+#   pb = P_B @ B.values      (gather: product p's B-side value)
+#   out = F  @ op_mul(pa,pb) (fold: op_add over each (i,j) group)
+#
+# so the numeric phase is three fused-kernel SpMVs (~15 Gnnz/s measured)
+# plus one elementwise multiply — no runtime sort, no runtime gather at
+# XLA's ~8 ns/element, no ``jnp.nonzero`` compaction (measured 16.4 /
+# 4.6 / 20.6 ms per 2M-element gather / sort / nonzero on v5e —
+# tools/diag_mxm.py).  Identity sparsification (``R_tmp[j] != I``,
+# cpu_mxm.hpp:109-113) is value-dependent, so the fast path checks for
+# init-valued results on device and falls back to the XLA ESC path in
+# that (measure-zero for generic data) case.
+# ---------------------------------------------------------------------------
+
+MXM_ESC_PALLAS_MAX_PRODUCTS = 1 << 24  # host prep is O(P log P)
+
+from ..formats import WeakIdCache as _WeakIdCache  # noqa: E402
+
+_MXM_ESC_CACHE = _WeakIdCache()
+
+
+def _mxm_esc_prep(A: CsrMatrix, B: CsrMatrix):
+    """Host symbolic+structural phase; returns the cached prep dict or
+    None when unsupported (no packer / too many products / non-square
+    tiling limits)."""
+    from ..formats import host_coo
+    from ..pallas.spmv import FUSED_MAX_RB, build_fused_cell_spmv_arrays
+
+    b_fp = (id(B.values), int(np.asarray(B.nnz)))
+    got = _MXM_ESC_CACHE.get(A.values, ("mxm_esc",))
+    if got is not None and got.get("b_fp") == b_fp:
+        return got if got.get("ok") else None
+
+    m, k = A.shape
+    _, n = B.shape
+    nnz_a = int(np.asarray(A.nnz))
+    nnz_b = int(np.asarray(B.nnz))
+    a_rows, a_cols, _ = host_coo(A, nnz=nnz_a)
+    b_indptr = np.asarray(B.indptr)
+    b_cols = np.asarray(B.cols)[:nnz_b]
+    deg = np.diff(b_indptr)[a_cols].astype(np.int64)
+    total = int(deg.sum())
+    prep = {"b_fp": b_fp, "ok": False}
+    if total == 0 or total > MXM_ESC_PALLAS_MAX_PRODUCTS:
+        _MXM_ESC_CACHE.put(A.values, prep, ("mxm_esc",))
+        return None
+    # product expansion (host): product p comes from A entry a_idx[p]
+    # and B position b_pos[p]
+    ends = np.cumsum(deg)
+    a_idx = np.repeat(np.arange(nnz_a, dtype=np.int64), deg)
+    local = np.arange(total, dtype=np.int64) - np.repeat(ends - deg, deg)
+    b_pos = b_indptr[a_cols].astype(np.int64)[a_idx] + local
+    i = a_rows[a_idx].astype(np.int64)
+    j = b_cols[b_pos].astype(np.int64)
+    perm = np.argsort(i * n + j, kind="stable")
+    key_s = (i * n + j)[perm]
+    heads = np.empty(total, bool)
+    heads[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=heads[1:])
+    g = np.cumsum(heads) - 1
+    out_nnz = int(g[-1]) + 1
+    out_rows = (key_s[heads] // n).astype(np.int32)
+    out_cols = (key_s[heads] % n).astype(np.int32)
+    indptr = np.zeros(m + 1, np.int64)
+    np.add.at(indptr, out_rows + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+
+    if (total + 16383) // 16384 > FUSED_MAX_RB or \
+            (out_nnz + 16383) // 16384 > FUSED_MAX_RB:
+        _MXM_ESC_CACHE.put(A.values, prep, ("mxm_esc",))
+        return None
+
+    ar = np.arange(total, dtype=np.int32)
+    ones = np.ones(total, np.float32)
+
+    def pack(rows_p, cols_p, m_p, n_p):
+        f = build_fused_cell_spmv_arrays(
+            m_p, n_p, rows_p, cols_p, ones, cw=None, pattern=True)
+        if f is None:  # skewed usage counts: hub-split retry
+            f = build_fused_cell_spmv_arrays(
+                m_p, n_p, rows_p, cols_p, ones, cw=None, pattern=True,
+                split_hubs=True)
+        return f
+
+    PA = pack(ar, a_idx[perm].astype(np.int32), total, A.capacity)
+    PB = pack(ar, b_pos[perm].astype(np.int32), total, B.capacity)
+    # fold rows are g (sorted, with duplicates) — already row-sorted
+    FF = pack(g.astype(np.int32), ar, out_nnz, total)
+    if PA is None or PB is None or FF is None:
+        _MXM_ESC_CACHE.put(A.values, prep, ("mxm_esc",))
+        return None
+    prep.update(
+        ok=True,
+        PA=PA, PB=PB, FF=FF,
+        out_nnz=out_nnz,
+        indptr=jnp.asarray(indptr),
+        out_cols=jnp.asarray(out_cols),
+        out_rows=jnp.asarray(out_rows),
+        total=total,
+    )
+    _MXM_ESC_CACHE.put(A.values, prep, ("mxm_esc",))
+    return prep
+
+
+def _take_x(_a, x):
+    return x
+
+
+def _default_mul(a, b):
+    return a * b
+
+
+@partial(jax.jit, static_argnames=("mul_fn", "combine", "identity",
+                                   "out_nnz", "pa_kind", "pb_kind",
+                                   "ff_kind"))
+def _mxm_esc_numeric(PA, PB, FF, a_vals, b_vals, init_a, mul_fn, combine,
+                     identity, out_nnz, pa_kind, pb_kind, ff_kind):
+    from ..pallas.spmv import balanced_fused_apply
+
+    pa = balanced_fused_apply(PA, a_vals, op_mul=_take_x, op_add=jnp.add,
+                              identity=0.0, alias_combine=pa_kind)
+    pb = balanced_fused_apply(PB, b_vals, op_mul=_take_x, op_add=jnp.add,
+                              identity=0.0, alias_combine=pb_kind)
+    prod = mul_fn(pa, pb)
+    folded = balanced_fused_apply(FF, prod, op_mul=_take_x, op_add=combine,
+                                  identity=identity,
+                                  alias_combine=ff_kind)[:out_nnz]
+    vals = combine(folded, jnp.broadcast_to(init_a, folded.shape))
+    any_init = jnp.any(vals == init_a)
+    return vals, any_init
+
+
+def _mxm_pallas_try(A, B, op_mul, op_add, init_a, out_capacity):
+    """Pallas static-structure ESC; None when gated off or when identity
+    sparsification actually triggers (rare; XLA path handles it)."""
+    from ..ops.spmv import _accel_enabled, _has_tracer
+    from ..pallas.spmv import _SCATTER_MONOIDS
+
+    if not _accel_enabled() or _has_tracer(A, B, init_a):
+        return None
+    kind = getattr(op_add, "scatter", None)
+    if kind not in _SCATTER_MONOIDS or A.values.dtype != jnp.float32:
+        return None
+    if out_capacity is not None:
+        return None  # fixed-capacity results stay on the XLA path
+    try:
+        prep = _mxm_esc_prep(A, B)
+    except Exception:
+        prep = None
+    if prep is None:
+        return None
+    combine, identity = _SCATTER_MONOIDS[kind]
+    mul_fn = _default_mul if op_mul is None else getattr(op_mul, "fn", op_mul)
+    vals, any_init = _mxm_esc_numeric(
+        prep["PA"], prep["PB"], prep["FF"], A.values, B.values, init_a,
+        mul_fn, combine, identity, prep["out_nnz"],
+        "add", "add", kind,
+    )
+    if bool(np.asarray(any_init)):
+        # a fold landed exactly on init: the reference drops such
+        # entries (cpu_mxm.hpp:109-113) — host-known structure can't,
+        # so this case (measure-zero for generic data) goes XLA
+        return None
+    m, _ = A.shape
+    _, n = B.shape
+    return CsrMatrix(
+        shape=(m, n),
+        indptr=prep["indptr"],
+        cols=prep["out_cols"],
+        values=vals,
+        row_ids=prep["out_rows"],
+        nnz=jnp.asarray(prep["out_nnz"], jnp.int32),
+        fill=init_a,
+    )
+
+
 def _monotone_gather(x, starts, cap):
     """``x[src]`` where ``src`` is the run index of each slot (runs start
     at ``starts``, non-decreasing) — built by scattering value DELTAS at
@@ -194,6 +381,11 @@ def mxm(
     up to 2^31 products per multiply (int32 offset arithmetic)."""
     init_a = _scalar(init, A.values.dtype)
     if products_cap is None:  # the symbolic pass only when not supplied
+        # accelerated static-structure ESC (host symbolic + three fused
+        # kernel passes); explicit caps keep the XLA truncation semantics
+        r = _mxm_pallas_try(A, B, op_mul, op_add, init_a, out_capacity)
+        if r is not None:
+            return r
         products_cap = max(count_mxm_products(A, B), 1)
     dense = _mxm_dense_try(A, B, op_mul, op_add, init, int(products_cap),
                            out_capacity)

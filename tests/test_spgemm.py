@@ -148,3 +148,50 @@ def test_mxm_blocked_minplus():
     finite = np.isfinite(ref)
     np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-5)
     assert np.all(np.isinf(got[~finite]))
+
+
+def test_mxm_pallas_esc_matches_scipy(monkeypatch):
+    """Static-structure Pallas ESC path (r5): host-precomputed expansion
+    + three fused pattern kernels, exact vs scipy (interpret mode)."""
+    from spla_tpu.ops.spgemm import _MXM_ESC_CACHE, _mxm_pallas_try
+    from spla_tpu.pallas.cellpack_native import _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    monkeypatch.setenv("SPLA_FORCE_PALLAS_DISPATCH", "1")
+    rng = np.random.default_rng(21)
+    a = sp.random(700, 600, density=0.02, random_state=1,
+                  dtype=np.float32)
+    b = sp.random(600, 650, density=0.02, random_state=2,
+                  dtype=np.float32)
+    a.data[:] = rng.random(a.nnz, np.float32) + 0.5
+    b.data[:] = rng.random(b.nnz, np.float32) + 0.5
+    Ac, Bc = F.csr_from_scipy(a.tocsr()), F.csr_from_scipy(b.tocsr())
+    R = mxm(Ac, Bc, op.MULT_FLOAT, op.PLUS_FLOAT, 0.0)
+    # the fast path must have been taken (prep cached ok)
+    got_prep = _MXM_ESC_CACHE.get(Ac.values, ("mxm_esc",))
+    assert got_prep is not None and got_prep["ok"]
+    ref = (a @ b).tocsr()
+    ref.sum_duplicates()
+    k = int(np.asarray(R.nnz))
+    assert k == ref.nnz
+    got = sp.csr_matrix(
+        (np.asarray(R.values)[:k], np.asarray(R.cols)[:k],
+         np.asarray(R.indptr)), shape=R.shape)
+    np.testing.assert_allclose(got.toarray(), ref.toarray(), rtol=1e-5,
+                               atol=1e-6)
+
+    # min-plus semiring through the same path
+    Rm = mxm(Ac, Bc, op.PLUS_FLOAT, op.MIN_FLOAT, float("inf"))
+    km = int(np.asarray(Rm.nnz))
+    dense = np.full((700, 650), np.inf, np.float32)
+    ad, bd = a.toarray(), b.toarray()
+    am = np.where(ad != 0, ad, np.inf)
+    bm = np.where(bd != 0, bd, np.inf)
+    ref_m = (am[:, :, None] + bm[None, :, :]).min(axis=1)
+    gm = sp.csr_matrix(
+        (np.asarray(Rm.values)[:km], np.asarray(Rm.cols)[:km],
+         np.asarray(Rm.indptr)), shape=Rm.shape).toarray()
+    gm = np.where(gm == 0, np.inf, gm)  # unstored = +inf fill
+    np.testing.assert_allclose(
+        np.where(np.isinf(ref_m), np.inf, ref_m), gm, rtol=1e-5)
