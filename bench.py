@@ -99,6 +99,30 @@ def main():
     nnz = vals.size
     x = jnp.asarray(np.random.default_rng(1).random(n, dtype=np.float32))
 
+    # class-balancing relabel (native/classbal.cpp): balances the
+    # per-cell l/lane class loads the fused packer quantizes into
+    # padding (measured 2.129 -> 1.871 on this graph).  Within-block
+    # permutation of the SAME graph; the chained iteration below runs in
+    # permuted space at zero apply-time cost (sums are invariant; a
+    # caller needing original vertex order pays one gather per CHAIN).
+    relabel_s = 0.0
+    t0 = time.perf_counter()
+    try:
+        from spla_tpu.pallas.cellpack_native import class_relabel
+
+        perm = class_relabel(n, n, 16384, rows, cols, d=16, passes=1)
+    except Exception:
+        perm = None
+    if perm is not None:
+        rows = perm[rows]
+        cols = perm[cols]
+        srt = np.argsort(rows, kind="stable")
+        rows = np.ascontiguousarray(rows[srt])
+        cols = np.ascontiguousarray(cols[srt])
+        vals = np.ascontiguousarray(vals[srt])
+        relabel_s = round(time.perf_counter() - t0, 1)
+        _log(f"class-balance relabel in {relabel_s}s")
+
     t0 = time.perf_counter()
     # cw=None -> auto window-width policy.  For this graph (2047
     # entries/cell) it keeps 16384: 32768-wide windows were measured a
@@ -200,7 +224,8 @@ def main():
                     "ms_per_spmv": round(dt * 1e3, 3),
                     "mnnz_per_s": round(nnz / dt / 1e6, 1),
                     "padding": round(fmt.slots / fmt.nnz, 3),
-                    "preprocess_s": round(build_s, 1),
+                    "preprocess_s": round(build_s + relabel_s, 1),
+                    "relabel_s": relabel_s,
                     # stage split: "pack_s" = native packer (or disk-cache
                     # load), "h2d_s" = device transfer of the packed
                     # arrays (~600 MB through the remote-TPU tunnel)

@@ -211,3 +211,88 @@ def native_pack(m, n, cw, rows, cols, vals, mode=0, batch=1):
         return out
     finally:
         lib.cellpack_release(h)
+
+
+# ---------------------------------------------------------------------------
+# class-balancing relabel (native/classbal.cpp): joint l/lane vector
+# scheduling that shrinks the per-cell class-load maxima the fused packs
+# quantize into padding.  Within-block permutation: packs of the
+# relabeled matrix serve chained iterations with zero apply-time cost.
+# ---------------------------------------------------------------------------
+
+_CB_LIB = None
+_CB_TRIED = False
+
+
+def _classbal_lib():
+    global _CB_LIB, _CB_TRIED
+    if _CB_TRIED:
+        return _CB_LIB
+    _CB_TRIED = True
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "classbal.cpp"))
+    try:
+        import hashlib
+
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:12]
+        so = os.path.abspath(os.path.join(_NATIVE_DIR,
+                                          f"libclassbal-{tag}.so"))
+        if not os.path.exists(so):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+                 "-o", so],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.classbal_run.restype = ctypes.c_int32
+        lib.classbal_run.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_uint64,
+            ctypes.c_int32,
+        ]
+        _CB_LIB = lib
+    except Exception:
+        _CB_LIB = None
+    return _CB_LIB
+
+
+def class_relabel(m, n, cw, rows, cols, d=16, seed=1, passes=2):
+    """new_of_old[v] permutation balancing the fused layout's l/lane
+    class loads (square matrices); None without the native helper.
+    Disk-cached alongside the pack cache (content-keyed)."""
+    lib = _classbal_lib()
+    if lib is None or m != n:
+        return None
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    cache_path = None
+    if rows.shape[0] >= (1 << 22):
+        import hashlib
+
+        h = hashlib.sha256()
+        for part in (np.int64([m, n, cw, d, seed, passes]), rows, cols):
+            h.update(np.ascontiguousarray(part).tobytes())
+        cache_path = os.path.join(_cache_dir(),
+                                  f"classbal-{h.hexdigest()[:20]}.npy")
+        if os.path.exists(cache_path):
+            got = np.load(cache_path)
+            if got.shape[0] == m:
+                return got
+    out = np.empty(m, np.int32)
+    rc = lib.classbal_run(
+        m, n, cw, rows.shape[0],
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(d), ctypes.c_uint64(seed),
+        ctypes.c_int32(passes),
+    )
+    if rc != 0:
+        return None
+    if cache_path is not None:
+        try:
+            np.save(cache_path, out)
+        except OSError:  # pragma: no cover - cache dir full/readonly
+            pass
+    return out

@@ -1323,3 +1323,41 @@ def test_skewed_vxm_public_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(rv.values)[:k],
                                np.asarray(rr.values)[:kr],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_class_relabel_pack_matches_scipy():
+    """Class-balancing relabel (native/classbal.cpp): bijection, within-
+    block invariant, and the relabeled pack computes P A P^T exactly
+    (y_orig = y_bal[perm], x_bal[perm] = x)."""
+    from spla_tpu.pallas.cellpack_native import _classbal_lib, class_relabel
+    from spla_tpu.pallas.spmv import (
+        build_fused_cell_spmv_arrays,
+        fused_cell_spmv_apply,
+    )
+
+    if _classbal_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(31)
+    n = 4096  # single (tail) 16384-block: exercises capacity clamping
+    a = sp.random(n, n, density=16 / n, random_state=5, dtype=np.float32)
+    a = (a + a.T).tocoo()
+    rows = a.row.astype(np.int32)
+    cols = a.col.astype(np.int32)
+    vals = a.data.astype(np.float32)
+    perm = class_relabel(n, n, 1024, rows, cols, d=16, passes=2)
+    assert perm is not None
+    assert np.unique(perm).size == n  # bijection
+    assert perm.max() < n
+    r2, c2 = perm[rows], perm[cols]
+    srt = np.argsort(r2, kind="stable")
+    fmt = build_fused_cell_spmv_arrays(n, n, r2[srt], c2[srt], vals[srt],
+                                       cw=1024)
+    assert fmt is not None
+    x = rng.random(n, dtype=np.float32)
+    x_bal = np.zeros(n, np.float32)
+    x_bal[perm] = x
+    y_bal = np.asarray(fused_cell_spmv_apply(
+        fmt, jnp.asarray(x_bal), op_mul=lambda a_, x_: a_ * x_,
+        op_add=jnp.add, identity=0.0))
+    ref = a.tocsr() @ x
+    np.testing.assert_allclose(y_bal[perm], ref, rtol=1e-4, atol=1e-5)
