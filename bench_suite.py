@@ -527,12 +527,30 @@ def main():
     from spla_tpu.ops.spgemm import count_mxm_products
     nm = 1 << (11 if args.small else 13)
     Am = F.csr_from_scipy(random_graph(nm, 16, seed=5))
+    from spla_tpu.containers import CsrMatrix as _Csr
     R = mxm_op(Am, Am, OPS.MULT_FLOAT, OPS.PLUS_FLOAT, 0.0)
-    np.asarray(R.nnz)  # warm-up
-    t0 = time.perf_counter()
-    R = mxm_op(Am, Am, OPS.MULT_FLOAT, OPS.PLUS_FLOAT, 0.0)
-    nnz_r = int(np.asarray(R.nnz))
-    dtm = time.perf_counter() - t0
+    nnz_r = int(np.asarray(R.nnz))  # warm-up
+    # CHAINED calls (B values derived from the previous result) with one
+    # materialization, like every other entry: per-call timing measures
+    # the ~25 ms transport round trip, not the numeric phase.  Values
+    # are strictly positive under plus-times, so init-valued folds are
+    # impossible and the value-dependent sparsification check (a device
+    # sync) is skipped — the documented opt-out.
+    mreps = 6
+    dtm = float("inf")
+    for _ in range(2):
+        s_k = jnp.float32(1.0)
+        t0 = time.perf_counter()
+        for k in range(mreps):
+            Bk = _Csr(shape=Am.shape, indptr=Am.indptr, cols=Am.cols,
+                      values=Am.values * s_k, row_ids=Am.row_ids,
+                      nnz=Am.nnz, fill=Am.fill)
+            R = mxm_op(Am, Bk, OPS.MULT_FLOAT, OPS.PLUS_FLOAT, 0.0,
+                       check_init_sparsify=False)
+            s_k = jnp.float32(1.0) + R.values[0] * 0 + jnp.float32(
+                (k + 1) * 1e-9)
+        np.asarray(s_k)
+        dtm = min(dtm, (time.perf_counter() - t0) / mreps)
     prods_m = count_mxm_products(Am, Am)
     emit("mxm_mprod_s", prods_m / dtm / 1e6, "Mproducts/s", n=nm,
          nnz=int(np.asarray(Am.nnz)), out_nnz=nnz_r,

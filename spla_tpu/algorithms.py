@@ -228,7 +228,11 @@ def _bfs_kernel_pallas(fmt, source, monoid=True,
         # (window-major [nwr, 128]) and output ([n_rb*128, 128]) layouts
         # coincide, so v/frontier stay 2D across levels — no per-level
         # flatten/pad round trips (the glue dominated road-graph BFS)
-        from .pallas.spmv import bfs_level_update, bfs_resident
+        from .pallas.spmv import (
+            LEVEL_UPDATE_CHUNK,
+            bfs_level_update_auto,
+            bfs_resident,
+        )
 
         # fully-resident whole-BFS kernel when the format fits VMEM
         # (pattern pairs + three state arrays): zero HBM traffic per level
@@ -252,23 +256,30 @@ def _bfs_kernel_pallas(fmt, source, monoid=True,
         # or streaming chunks past BFS_UPDATE_MAX_RB row blocks): the
         # separate XLA elementwise ops measured ~136 us/level on the
         # 2047-level road benchmark
+        # frontier chunk activity carried between levels (the sparse
+        # slab update touches only active 2048-row chunks; r4 item 7)
+        n_ch = max(R // LEVEL_UPDATE_CHUNK, 1)
+        fc0 = jnp.zeros((n_ch,), jnp.bool_).at[
+            jnp.minimum(source // 128 // LEVEL_UPDATE_CHUNK,
+                        n_ch - 1)].set(True)
+
         def cond2(state):
             return state[4] > 0
 
         def body2(state):
-            v, front, act, depth, _ = state
+            v, front, act, depth, _, fc = state
             hits = fused_spmv2d_adaptive(
                 fmt, front[:nwr], op_mul=_structural_or,
                 op_add=jnp.maximum, identity=0.0,
                 front_factor=front_factor, act=act,
             )
-            v, front, act, cnt = bfs_level_update(fmt, hits, v, front,
-                                                  depth)
-            return (v, front, act, depth + 1, cnt)
+            v, front, act, cnt, fc = bfs_level_update_auto(
+                fmt, hits, v, front, depth, fc)
+            return (v, front, act, depth + 1, cnt, fc)
 
-        v, _, _, _, _ = lax.while_loop(
+        v, _, _, _, _, _ = lax.while_loop(
             cond2, body2,
-            (v0, front0, act0, jnp.int32(1), jnp.float32(1)),
+            (v0, front0, act0, jnp.int32(1), jnp.float32(1), fc0),
         )
         # (every frontier gets its depth inside the loop: the update
         # that PRODUCES an empty next-frontier also assigns the last

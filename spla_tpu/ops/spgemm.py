@@ -103,9 +103,12 @@ def _mxm_esc_prep(A: CsrMatrix, B: CsrMatrix):
     from ..formats import host_coo
     from ..pallas.spmv import FUSED_MAX_RB, build_fused_cell_spmv_arrays
 
-    b_fp = (id(B.values), int(np.asarray(B.nnz)))
-    got = _MXM_ESC_CACHE.get(A.values, ("mxm_esc",))
-    if got is not None and got.get("b_fp") == b_fp:
+    # keyed on the PATTERN arrays (cols), not values: the structure is
+    # value-independent, so value-updated matrices (chained benchmarks,
+    # iterative algorithms) reuse the prep.  B is pinned by identity
+    # (strong ref in the prep — a recycled id after GC must not match).
+    got = _MXM_ESC_CACHE.get(A.cols, ("mxm_esc",))
+    if got is not None and got.get("b_cols") is B.cols:
         return got if got.get("ok") else None
 
     m, k = A.shape
@@ -117,9 +120,9 @@ def _mxm_esc_prep(A: CsrMatrix, B: CsrMatrix):
     b_cols = np.asarray(B.cols)[:nnz_b]
     deg = np.diff(b_indptr)[a_cols].astype(np.int64)
     total = int(deg.sum())
-    prep = {"b_fp": b_fp, "ok": False}
+    prep = {"b_cols": B.cols, "ok": False}
     if total == 0 or total > MXM_ESC_PALLAS_MAX_PRODUCTS:
-        _MXM_ESC_CACHE.put(A.values, prep, ("mxm_esc",))
+        _MXM_ESC_CACHE.put(A.cols, prep, ("mxm_esc",))
         return None
     # product expansion (host): product p comes from A entry a_idx[p]
     # and B position b_pos[p]
@@ -144,7 +147,7 @@ def _mxm_esc_prep(A: CsrMatrix, B: CsrMatrix):
 
     if (total + 16383) // 16384 > FUSED_MAX_RB or \
             (out_nnz + 16383) // 16384 > FUSED_MAX_RB:
-        _MXM_ESC_CACHE.put(A.values, prep, ("mxm_esc",))
+        _MXM_ESC_CACHE.put(A.cols, prep, ("mxm_esc",))
         return None
 
     ar = np.arange(total, dtype=np.int32)
@@ -164,7 +167,7 @@ def _mxm_esc_prep(A: CsrMatrix, B: CsrMatrix):
     # fold rows are g (sorted, with duplicates) — already row-sorted
     FF = pack(g.astype(np.int32), ar, out_nnz, total)
     if PA is None or PB is None or FF is None:
-        _MXM_ESC_CACHE.put(A.values, prep, ("mxm_esc",))
+        _MXM_ESC_CACHE.put(A.cols, prep, ("mxm_esc",))
         return None
     prep.update(
         ok=True,
@@ -175,7 +178,7 @@ def _mxm_esc_prep(A: CsrMatrix, B: CsrMatrix):
         out_rows=jnp.asarray(out_rows),
         total=total,
     )
-    _MXM_ESC_CACHE.put(A.values, prep, ("mxm_esc",))
+    _MXM_ESC_CACHE.put(A.cols, prep, ("mxm_esc",))
     return prep
 
 
@@ -207,9 +210,16 @@ def _mxm_esc_numeric(PA, PB, FF, a_vals, b_vals, init_a, mul_fn, combine,
     return vals, any_init
 
 
-def _mxm_pallas_try(A, B, op_mul, op_add, init_a, out_capacity):
+def _mxm_pallas_try(A, B, op_mul, op_add, init_a, out_capacity,
+                    check_init_sparsify=True):
     """Pallas static-structure ESC; None when gated off or when identity
-    sparsification actually triggers (rare; XLA path handles it)."""
+    sparsification actually triggers (rare; XLA path handles it).
+
+    ``check_init_sparsify=False`` skips the device round trip that
+    detects init-valued folds (the reference's ``R_tmp[j] != I`` drop,
+    value-dependent and therefore a host sync) — callers that know their
+    data cannot fold to init (e.g. strictly positive values under
+    plus-times) opt out and keep the call fully asynchronous."""
     from ..ops.spmv import _accel_enabled, _has_tracer
     from ..pallas.spmv import _SCATTER_MONOIDS
 
@@ -233,7 +243,7 @@ def _mxm_pallas_try(A, B, op_mul, op_add, init_a, out_capacity):
         mul_fn, combine, identity, prep["out_nnz"],
         "add", "add", kind,
     )
-    if bool(np.asarray(any_init)):
+    if check_init_sparsify and bool(np.asarray(any_init)):
         # a fold landed exactly on init: the reference drops such
         # entries (cpu_mxm.hpp:109-113) — host-known structure can't,
         # so this case (measure-zero for generic data) goes XLA
@@ -368,6 +378,7 @@ def mxm(
     products_cap: int | None = None,
     out_capacity: int | None = None,
     block_products: int | None = None,
+    check_init_sparsify: bool = True,
 ) -> CsrMatrix:
     """R = A * B over the (op_mul, op_add) semiring; entries whose
     accumulated value equals ``init`` are not stored (reference
@@ -383,7 +394,8 @@ def mxm(
     if products_cap is None:  # the symbolic pass only when not supplied
         # accelerated static-structure ESC (host symbolic + three fused
         # kernel passes); explicit caps keep the XLA truncation semantics
-        r = _mxm_pallas_try(A, B, op_mul, op_add, init_a, out_capacity)
+        r = _mxm_pallas_try(A, B, op_mul, op_add, init_a, out_capacity,
+                            check_init_sparsify)
         if r is not None:
             return r
         products_cap = max(count_mxm_products(A, B), 1)

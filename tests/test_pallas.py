@@ -1212,13 +1212,14 @@ def test_split_hub_columns_fuzz():
             )
 
 
-def _skewed_csr(m=2048, seed=11):
-    """Small matrix that trips ``is_skewed`` (hub row + hub column)."""
+def _skewed_csr(m=1024, seed=11):
+    """Small matrix that trips ``is_skewed`` (hub row + hub column);
+    kept tiny — these run the alias-fold kernels in interpret mode."""
     rng = np.random.default_rng(seed)
-    rows = np.concatenate([np.full(700, 17, np.int32),
-                           rng.integers(0, m, 2000).astype(np.int32)])
-    cols = np.concatenate([rng.integers(0, m, 700).astype(np.int32),
-                           np.full(2000, 23, np.int32)])
+    rows = np.concatenate([np.full(400, 17, np.int32),
+                           rng.integers(0, m, 900).astype(np.int32)])
+    cols = np.concatenate([rng.integers(0, m, 400).astype(np.int32),
+                           np.full(900, 23, np.int32)])
     vals = rng.random(rows.size).astype(np.float32)
     a = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
     a.sum_duplicates()
@@ -1256,6 +1257,7 @@ def test_pack_budget_abort_on_skewed_unsplit():
     assert P._estimate_pack_padding(m, n, 16384, ur, uc, 30000) == 1.0
 
 
+@slow
 def test_best_monoid_format_skewed_routes_balanced():
     """get_best_monoid_format on a skewed matrix returns the hub-split
     balanced format + an apply that infers the alias fold from op_add —
@@ -1361,3 +1363,71 @@ def test_class_relabel_pack_matches_scipy():
         op_add=jnp.add, identity=0.0))
     ref = a.tocsr() @ x
     np.testing.assert_allclose(y_bal[perm], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bfs_level_update_auto_sparse_equals_full(monkeypatch):
+    """Chunk-sparse level update (r4 verdict item 7): the gathered-slab
+    XLA branch produces identical (v', front', act, count) to the full
+    streaming kernel, and the carried front-chunk activity is exact."""
+    import spla_tpu.pallas.spmv as SP
+    from spla_tpu.pallas.cellpack_native import _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    monkeypatch.setattr(SP, "BFS_UPDATE_MAX_RB", 0)
+    monkeypatch.setattr(SP, "LEVEL_UPDATE_CHUNK", 128)
+    rng = np.random.default_rng(17)
+    m = 5 * 16384  # 5 row blocks -> R = 640 rows, 5 chunks of 128
+    from spla_tpu.pallas.spmv import build_fused_cell_spmv_arrays
+
+    # direct index sampling (sp.random at this shape is pathologically
+    # slow in this scipy build)
+    rows_g = np.sort(rng.integers(0, m, 200_000)).astype(np.int32)
+    cols_g = rng.integers(0, m, 200_000).astype(np.int32)
+    fmt = build_fused_cell_spmv_arrays(
+        m, m, rows_g, cols_g,
+        np.ones(rows_g.size, np.float32), cw=1024, pattern=True)
+    assert fmt is not None
+    R = fmt.n_row_blocks * 128
+    n_ch = R // 128
+
+    v = np.zeros((R, 128), np.int32)
+    v[0, :5] = 1
+    front = np.zeros((R, 128), np.float32)
+    front[0, 2] = 1.0
+    hits = np.zeros((R, 128), np.float32)
+    hits[0, 3:40] = 1.0
+    hits[3 * 128 + 7, :16] = 1.0  # second active chunk
+    fc = np.zeros(n_ch, bool)
+    fc[0] = True
+    depth = jnp.int32(4)
+
+    def run():
+        return SP.bfs_level_update_auto(
+            fmt, jnp.asarray(hits), jnp.asarray(v), jnp.asarray(front),
+            depth, jnp.asarray(fc))
+
+    v2, f2, act, cnt, fc2 = run()  # sparse branch (2 chunks <= CAP)
+
+    # numpy reference semantics
+    v_ref = np.where(front > 0, 4, v)
+    f_ref = ((hits > 0) & (v_ref == 0)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(v2), v_ref)
+    np.testing.assert_array_equal(np.asarray(f2), f_ref)
+    assert float(cnt) == f_ref.sum()
+    fc_ref = f_ref.reshape(n_ch, -1).any(axis=1)
+    np.testing.assert_array_equal(np.asarray(fc2), fc_ref)
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    nwc = nwr // cwr
+    act_ref = (f_ref[:nwr].reshape(nwc, -1) > 0).any(axis=1)
+    np.testing.assert_array_equal(np.asarray(act)[:nwc] > 0, act_ref)
+
+    # force the FULL branch (every chunk active) and compare semantics
+    hits_all = rng.random((R, 128)).astype(np.float32) < 0.01
+    v3, f3, act3, cnt3, fc3 = SP.bfs_level_update_auto(
+        fmt, jnp.asarray(hits_all.astype(np.float32)), jnp.asarray(v),
+        jnp.asarray(front), depth, jnp.asarray(fc))
+    f3_ref = ((hits_all > 0) & (v_ref == 0)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(f3), f3_ref)
+    assert float(cnt3) == f3_ref.sum()

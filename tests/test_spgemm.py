@@ -169,7 +169,7 @@ def test_mxm_pallas_esc_matches_scipy(monkeypatch):
     Ac, Bc = F.csr_from_scipy(a.tocsr()), F.csr_from_scipy(b.tocsr())
     R = mxm(Ac, Bc, op.MULT_FLOAT, op.PLUS_FLOAT, 0.0)
     # the fast path must have been taken (prep cached ok)
-    got_prep = _MXM_ESC_CACHE.get(Ac.values, ("mxm_esc",))
+    got_prep = _MXM_ESC_CACHE.get(Ac.cols, ("mxm_esc",))
     assert got_prep is not None and got_prep["ok"]
     ref = (a @ b).tocsr()
     ref.sum_duplicates()
