@@ -31,7 +31,6 @@ Documented deliberate differences (asserted below, not papered over):
 
 from __future__ import annotations
 
-import ctypes
 import os
 import sys
 
@@ -173,7 +172,7 @@ def test_exec_ops_int_bitexact():
     (the north star's integer-semiring clause at the exec layer)."""
     ps = _pyspla()
     from spla_tpu import op
-    from spla_tpu.containers import DenseVec, SparseVec
+    from spla_tpu.containers import DenseVec
     from spla_tpu.ops.matrix import m_reduce
     from spla_tpu.ops.spmv import mxv_masked, vxm_masked
     from spla_tpu.ops.vector import v_eadd, v_emult, v_reduce

@@ -25,7 +25,6 @@ max-degree stats.
 
 from __future__ import annotations
 
-import os
 import pathlib
 import subprocess
 
