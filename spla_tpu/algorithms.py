@@ -460,7 +460,7 @@ def _sssp_kernel_pallas(fmt, source, front_factor=jnp.float32(0.1)):
         if v_res is not None:
             return v_res.reshape(-1)[:n]
 
-        from .pallas.spmv import sssp_level_update
+        from .pallas.spmv import LEVEL_UPDATE_CHUNK, sssp_level_update_auto
 
         cwr = fmt.cw // 128
         nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
@@ -471,24 +471,30 @@ def _sssp_kernel_pallas(fmt, source, front_factor=jnp.float32(0.1)):
         act0 = jnp.any(
             v0[:nwr].reshape(nwc, cwr * 128) < inf, axis=1
         ).astype(jnp.int32)
+        # finite-feedback chunk activity carried between rounds (the
+        # sparse slab update touches only active 2048-row chunks)
+        n_ch = max(R // LEVEL_UPDATE_CHUNK, 1)
+        fc0 = jnp.zeros((n_ch,), jnp.bool_).at[
+            jnp.minimum(source // 128 // LEVEL_UPDATE_CHUNK,
+                        n_ch - 1)].set(True)
 
         def cond2(state):
             return state[3] > 0
 
         def body2(state):
-            v, fdb, act, _ = state
+            v, fdb, act, _, fc = state
             frontier = fused_spmv2d_adaptive(
                 fmt, fdb[:nwr], op_mul=_minplus_mul, op_add=jnp.minimum,
                 identity=float("inf"), front_factor=front_factor, act=act,
             )
             # min-merge + feedback + next-level window activity + count,
-            # fused on-chip (resident or streaming by graph size)
-            new_v, fdb_new, act, changed = sssp_level_update(
-                fmt, frontier, v)
-            return (new_v, fdb_new, act, changed)
+            # chunk-sparse at HBM scale (streaming kernel otherwise)
+            new_v, fdb_new, act, changed, fc = sssp_level_update_auto(
+                fmt, frontier, v, fc)
+            return (new_v, fdb_new, act, changed, fc)
 
-        v, _, _, _ = lax.while_loop(
-            cond2, body2, (v0, v0, act0, jnp.float32(1)))
+        v, _, _, _, _ = lax.while_loop(
+            cond2, body2, (v0, v0, act0, jnp.float32(1), fc0))
         return v.reshape(-1)[:n]
 
     v0 = jnp.full((n,), inf, jnp.float32).at[source].set(0.0)

@@ -2855,6 +2855,73 @@ def sssp_level_update(fmt: FusedCellSpmv, hits2d, v2d):
 BFS_SPARSE_UPDATE_CAP = 8
 
 
+def sssp_level_update_auto(fmt: FusedCellSpmv, hits2d, v2d, fdb_chunks):
+    """SSSP mirror of :func:`bfs_level_update_auto`: min-merge + feedback
+    on GATHERED chunks when few are active.  Active = chunks with finite
+    frontier contributions plus the carried finite-feedback chunks (their
+    feedback must reset to +inf even when nothing changes this round).
+
+    Returns (v', fdb', act, changed-count, fdb_chunks')."""
+    R = fmt.n_row_blocks * 128
+    CH = LEVEL_UPDATE_CHUNK
+    inf = jnp.float32(jnp.inf)
+    if fmt.n_row_blocks <= BFS_UPDATE_MAX_RB or R % CH != 0:
+        v2, fdb, act, cnt = _level_update(fmt, hits2d, v2d, None,
+                                          jnp.int32(0), "sssp")
+        return v2, fdb, act, cnt, fdb_chunks
+    n_chunks = R // CH
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    nwc = nwr // cwr
+    wpc = CH // cwr
+    CAP = min(BFS_SPARSE_UPDATE_CAP, n_chunks)
+
+    h3 = hits2d.reshape(n_chunks, CH, 128)
+    v3 = v2d.reshape(n_chunks, CH, 128)
+    hch = jnp.any(jnp.isfinite(h3), axis=(1, 2)) | fdb_chunks
+    n_act = jnp.sum(hch.astype(jnp.int32))
+    cum = jnp.cumsum(hch.astype(jnp.int32))
+    lst_raw = jnp.searchsorted(
+        cum, jnp.arange(1, CAP + 1), side="left").astype(jnp.int32)
+    last = jnp.clip(lst_raw[jnp.maximum(n_act - 1, 0)], 0, n_chunks - 1)
+    lst = jnp.minimum(lst_raw, last)
+
+    def sparse(v3, h3, fdb_chunks):
+        step_ok = jnp.arange(CAP, dtype=jnp.int32) < n_act
+        lst_w = jnp.where(step_ok, lst, jnp.int32(n_chunks))
+        vs = v3[lst]
+        hs = h3[lst]
+        new_v = jnp.minimum(vs, hs)
+        changed = new_v < vs
+        fdb_s = jnp.where(changed, new_v, inf)
+        cnt = jnp.sum(jnp.where(step_ok[:, None, None], changed, False))
+        v_out = v3.at[lst_w].set(new_v, mode="drop").reshape(R, 128)
+        # untouched chunks have +inf feedback by the invariant (they were
+        # not in last round's active set), so a full-inf base is exact
+        fdb_out = (
+            jnp.full((n_chunks, CH, 128), inf)
+            .at[lst_w].set(fdb_s, mode="drop").reshape(R, 128))
+        act_slab = jnp.any(
+            jnp.isfinite(fdb_s.reshape(CAP, wpc, cwr * 128)), axis=2)
+        act_full = (
+            jnp.zeros((n_chunks + 1, wpc), jnp.bool_)
+            .at[lst_w].set(act_slab, mode="drop")[:n_chunks]
+        ).reshape(-1)[:nwc].astype(jnp.int32)
+        fc = jnp.zeros((n_chunks + 1,), jnp.bool_).at[lst_w].set(
+            jnp.any(changed, axis=(1, 2)), mode="drop")[:n_chunks]
+        return v_out, fdb_out, act_full, cnt.astype(jnp.float32), fc
+
+    def full(v3, h3, fdb_chunks):
+        v2, fdb, act, cnt = _level_update(
+            fmt, h3.reshape(R, 128), v3.reshape(R, 128), None,
+            jnp.int32(0), "sssp")
+        fc = jnp.any(jnp.isfinite(fdb.reshape(n_chunks, CH, 128)),
+                     axis=(1, 2))
+        return v2, fdb, act, cnt, fc
+
+    return lax.cond(n_act <= CAP, sparse, full, v3, h3, fdb_chunks)
+
+
 def bfs_level_update_auto(fmt: FusedCellSpmv, hits2d, v2d, front2d, depth,
                           front_chunks):
     """Frontier-proportional level update (r4 verdict item 7): at HBM

@@ -1431,3 +1431,65 @@ def test_bfs_level_update_auto_sparse_equals_full(monkeypatch):
     f3_ref = ((hits_all > 0) & (v_ref == 0)).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(f3), f3_ref)
     assert float(cnt3) == f3_ref.sum()
+
+
+def test_sssp_level_update_auto_sparse_equals_full(monkeypatch):
+    """SSSP chunk-sparse update: slab branch == full kernel semantics,
+    including feedback reset to +inf on previously-active chunks."""
+    import spla_tpu.pallas.spmv as SP
+    from spla_tpu.pallas.cellpack_native import _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("no native toolchain")
+    monkeypatch.setattr(SP, "BFS_UPDATE_MAX_RB", 0)
+    monkeypatch.setattr(SP, "LEVEL_UPDATE_CHUNK", 128)
+    rng = np.random.default_rng(19)
+    m = 5 * 16384
+    from spla_tpu.pallas.spmv import build_fused_cell_spmv_arrays
+
+    rows_g = np.sort(rng.integers(0, m, 150_000)).astype(np.int32)
+    cols_g = rng.integers(0, m, 150_000).astype(np.int32)
+    fmt = build_fused_cell_spmv_arrays(
+        m, m, rows_g, cols_g, rng.random(150_000).astype(np.float32),
+        cw=1024)
+    assert fmt is not None
+    R = fmt.n_row_blocks * 128
+    n_ch = R // 128
+
+    inf = np.float32(np.inf)
+    v = np.full((R, 128), inf, np.float32)
+    v[0, :40] = rng.random(40).astype(np.float32) * 4
+    hits = np.full((R, 128), inf, np.float32)
+    hits[0, :40] = rng.random(40).astype(np.float32) * 4  # some improve
+    hits[2 * 128 + 5, :8] = 0.5  # second active chunk
+    fc = np.zeros(n_ch, bool)
+    fc[0] = True
+
+    v2, fdb, act, cnt, fc2 = SP.sssp_level_update_auto(
+        fmt, jnp.asarray(hits), jnp.asarray(v), jnp.asarray(fc))
+
+    v_ref = np.minimum(v, hits)
+    ch_ref = v_ref < v
+    fdb_ref = np.where(ch_ref, v_ref, inf)
+    np.testing.assert_array_equal(np.asarray(v2), v_ref)
+    np.testing.assert_array_equal(np.asarray(fdb), fdb_ref)
+    assert float(cnt) == ch_ref.sum()
+    np.testing.assert_array_equal(
+        np.asarray(fc2), ch_ref.reshape(n_ch, -1).any(axis=1))
+    cwr = fmt.cw // 128
+    nwr = (fmt.n + fmt.cw - 1) // fmt.cw * cwr
+    nwc = nwr // cwr
+    act_ref = np.isfinite(fdb_ref[:nwr].reshape(nwc, -1)).any(axis=1)
+    np.testing.assert_array_equal(np.asarray(act)[:nwc] > 0, act_ref)
+
+    # full branch (many active chunks): same semantics
+    hits_all = np.where(rng.random((R, 128)) < 0.01,
+                        np.float32(0.25), inf)
+    v3, fdb3, act3, cnt3, fc3 = SP.sssp_level_update_auto(
+        fmt, jnp.asarray(hits_all), jnp.asarray(v), jnp.asarray(fc))
+    v3_ref = np.minimum(v, hits_all)
+    ch3 = v3_ref < v
+    np.testing.assert_array_equal(np.asarray(v3), v3_ref)
+    np.testing.assert_array_equal(np.asarray(fdb3),
+                                  np.where(ch3, v3_ref, inf))
+    assert float(cnt3) == ch3.sum()
