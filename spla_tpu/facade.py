@@ -186,6 +186,19 @@ class MemView:
         data = np.frombuffer(bytes(data), np.uint8)
         flat[offset : offset + data.size] = data
 
+    @property
+    def buffer(self):
+        """Native pointer to the viewed memory (reference
+        ``python/pyspla/memview.py:90`` returns the C buffer pointer).
+        Here it is the numpy data pointer of the viewed host array."""
+        return self._np.ctypes.data
+
+    @property
+    def is_mutable(self) -> bool:
+        """True when the viewed buffer can be written through this view
+        (reference ``python/pyspla/memview.py:109``)."""
+        return bool(self._np.flags.writeable)
+
     def to_numpy(self):
         return self._np
 

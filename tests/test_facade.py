@@ -163,6 +163,12 @@ def test_memview_roundtrip():
     v.write(0, raw[4:8] + raw[0:4] + raw[8:])
     assert a[0] == 1 and a[1] == 0
     assert np.asarray(v).dtype == np.int32
+    # reference property surface (python/pyspla/memview.py:90,109)
+    assert v.buffer == a.ctypes.data
+    assert v.is_mutable is True
+    ro = np.arange(4, dtype=np.int32)
+    ro.setflags(write=False)
+    assert MemView.make(ro).is_mutable is False
 
 
 def test_reference_readme_bfs_example():
