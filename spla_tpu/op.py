@@ -55,6 +55,16 @@ class Op:
     def key(self) -> str:
         return f"{self.name}_{self.type.name}"
 
+    # reference accessor surface (python/pyspla/op.py:79-192); ops are
+    # same-typed T -> T here, as in every reference built-in
+    @property
+    def dtype_res(self) -> Type:
+        return self.type
+
+    @property
+    def dtype_arg0(self) -> Type:
+        return self.type
+
     def __call__(self, *args):
         return self.fn(*args)
 
@@ -89,6 +99,11 @@ class OpBinary(Op):
     scatter: Optional[str] = None  # "add" | "mul" | "min" | "max"
     associative: bool = False
     commutative: bool = False
+
+    @property
+    def dtype_arg1(self) -> Type:
+        """Second-argument type (reference op.py:188); (T, T) -> T."""
+        return self.type
 
     @staticmethod
     def make(

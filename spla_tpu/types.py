@@ -59,6 +59,27 @@ class Type:
     def __hash__(self):
         return hash((Type, self.name))
 
+    # -- reference pyspla Type helper surface (python/pyspla/type.py:170-204) --
+    def get_code(self) -> str:
+        """Literal dispatch code of the type ('B'/'I'/'U'/'F')."""
+        return self.code
+
+    def cast_value(self, value):
+        """Native (ctypes / numpy scalar / python) value -> python value
+        of this type (reference ``type.py:177``)."""
+        raw = getattr(value, "value", value)  # unwrap ctypes
+        out = self.np_dtype.type(raw).item()
+        return bool(out) if self.np_dtype == np.bool_ else out
+
+    def format_value(self, value, width: int = 2, precision: int = 2) -> str:
+        """Pretty-print a value of this type (reference ``type.py:189,357``:
+        floats use width.precision, bools render as t/f)."""
+        if self.np_dtype == np.bool_ or isinstance(value, bool):
+            return f"{'t' if value else 'f':>{width}}"
+        if self.is_float():
+            return f"{value:>{width}.{precision}}"
+        return f"{value:>{width}}"
+
     # convenience
     def is_float(self) -> bool:
         return jnp.issubdtype(self.dtype, jnp.floating)

@@ -98,3 +98,20 @@ def test_monoid_metadata():
     assert ops.BAND_UINT.identity == np.uint32(0xFFFFFFFF)
     assert ops.MINUS_INT.identity is None
     assert ops.BOR_INT.associative and ops.BOR_INT.scatter is None
+
+
+def test_reference_accessor_surface():
+    """Reference pyspla accessors (op.py:79-192, type.py:170-204)."""
+    from spla_tpu.types import BOOL, FLOAT
+
+    assert ops.PLUS_INT.name == "PLUS"
+    assert ops.PLUS_INT.dtype_res is INT
+    assert ops.PLUS_INT.dtype_arg0 is INT
+    assert ops.PLUS_INT.dtype_arg1 is INT
+    assert ops.ABS_FLOAT.dtype_arg0 is FLOAT
+    assert INT.get_code() == "I" and BOOL.get_code() == "B"
+    assert INT.cast_value(np.int64(7)) == 7
+    assert BOOL.cast_value(1) is True
+    assert FLOAT.format_value(1.5, width=4, precision=3) == " 1.5"
+    assert BOOL.format_value(True) == " t"
+    assert INT.format_value(42, width=4) == "  42"
