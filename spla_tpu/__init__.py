@@ -19,13 +19,20 @@ from .schedule import Schedule, ScheduleTask, make_schedule
 from .types import BOOL, FLOAT, INT, UINT, Type, type_from_dtype
 
 
+_LAZY_FACADE = ("Matrix", "Vector", "Array", "MemView", "Object",
+                "FormatMatrix", "FormatVector")
+_LAZY_OP = ("Op", "OpUnary", "OpBinary", "OpSelect")
+
+
 def __getattr__(name):
     # heavier subsystems lazily (facade pulls in the whole op layer)
     import importlib
 
-    if name in ("Matrix", "Vector", "Array", "MemView"):
+    if name in _LAZY_FACADE:
         facade = importlib.import_module(".facade", __name__)
         return getattr(facade, name)
+    if name in _LAZY_OP:
+        return getattr(op, name)
     if name == "MtxLoader":
         return importlib.import_module(".io", __name__).MtxLoader
     if name == "Timer":
@@ -34,7 +41,15 @@ def __getattr__(name):
         return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module 'spla_tpu' has no attribute {name!r}")
 
+
+def __dir__():
+    return sorted(set(globals()) | set(__all__))
+
+
 __version__ = "0.1.0"
+
+# reference pyspla exports a VERSIONS history list (python/pyspla/version.py)
+VERSIONS = [__version__]
 
 __all__ = [
     "op",
@@ -53,4 +68,19 @@ __all__ = [
     "FLOAT",
     "type_from_dtype",
     "__version__",
+    "VERSIONS",
+    # lazy (module __getattr__): user-facing objects + op classes + subsystems
+    "Matrix",
+    "Vector",
+    "Array",
+    "MemView",
+    "Object",
+    "FormatMatrix",
+    "FormatVector",
+    "Op",
+    "OpUnary",
+    "OpBinary",
+    "OpSelect",
+    "MtxLoader",
+    "Timer",
 ]

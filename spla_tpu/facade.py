@@ -23,6 +23,8 @@ All compute dispatches to the functional op layer (``spla_tpu.ops``);
 
 from __future__ import annotations
 
+import enum
+
 import numpy as np
 
 import jax
@@ -35,7 +37,52 @@ from . import formats as F
 from . import ops as X
 from .types import BOOL, FLOAT, INT, UINT, Type, type_from_dtype
 
-__all__ = ["Matrix", "Vector", "Scalar", "Array"]
+__all__ = ["Matrix", "Vector", "Scalar", "Array", "MemView", "Object",
+           "FormatMatrix", "FormatVector"]
+
+
+class Object:
+    """Base class of the user-facing objects (reference
+    ``python/pyspla/object.py:34-76``).  The reference variant carries a
+    native handle and a debug label; here device buffers are owned by
+    jax.Arrays, so only the label survives — ``hnd`` is kept for
+    introspection parity and is always ``None``."""
+
+    label = None
+
+    @property
+    def hnd(self):
+        return None
+
+
+class FormatMatrix(enum.Enum):
+    """Reference matrix storage-format enumeration
+    (``python/pyspla/bridge.py:101-124``).  TPU storage is implicit
+    (host staging + device CSR/packed snapshots chosen by the library);
+    ``Matrix.set_format`` accepts these values as advisory hints."""
+
+    CPU_LIL = 0
+    CPU_DOK = 1
+    CPU_COO = 2
+    CPU_CSR = 3
+    CPU_CSC = 4
+    ACC_COO = 5
+    ACC_CSR = 6
+    ACC_CSC = 7
+    COUNT = 8
+
+
+class FormatVector(enum.Enum):
+    """Reference vector storage-format enumeration
+    (``python/pyspla/bridge.py:129-146``); advisory here (see
+    :class:`FormatMatrix`)."""
+
+    CPU_DOK = 0
+    CPU_DENSE = 1
+    CPU_COO = 2
+    ACC_DENSE = 3
+    ACC_COO = 4
+    COUNT = 5
 
 
 def _op_or_default(op, default):
@@ -46,7 +93,7 @@ def _zero(dtype):
     return np.zeros((), dtype)[()]
 
 
-class Scalar:
+class Scalar(Object):
     """Typed scalar (reference ``python/pyspla/scalar.py``).
 
     Accepts both argument orders — ``Scalar(INT, 0)`` (pyspla README
@@ -151,7 +198,7 @@ def _sval(x):
     return x.get() if isinstance(x, Scalar) else x
 
 
-class MemView:
+class MemView(Object):
     """Non-owning view over host memory for zero-copy build/read
     (reference ``include/spla/memview.hpp:48-64``).  On TPU the host
     buffer is necessarily copied at device upload; the view is the
@@ -206,7 +253,7 @@ class MemView:
         return np.asarray(self._np, dtype=dtype)
 
 
-class Array:
+class Array(Object):
     """Dense typed 1-D array for construction/inspection (reference
     ``python/pyspla/array.py``)."""
 
@@ -291,7 +338,7 @@ class Array:
     __str__ = __repr__
 
 
-class Vector:
+class Vector(Object):
     """Generalized n-vector (reference ``python/pyspla/vector.py``)."""
 
     def __init__(self, shape, dtype: Type = INT, label=None):
@@ -539,7 +586,7 @@ def _fmt_val(x, precision):
     return str(x)
 
 
-class Matrix:
+class Matrix(Object):
     """Generalized M x N matrix (reference ``python/pyspla/matrix.py``)."""
 
     def __init__(self, shape, dtype: Type = INT, label=None):

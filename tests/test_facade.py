@@ -333,3 +333,39 @@ def test_op_result_survives_clear_and_rebuild():
     B.clear()
     B.set(0, 0, 2.0)
     assert B.get(0, 0) == 2.0
+
+
+def test_reference_package_export_parity():
+    """Every public name in the reference pyspla __all__ resolves on
+    spla_tpu (python/pyspla/__init__.py:260-280)."""
+    import re
+    from pathlib import Path
+
+    import spla_tpu
+
+    ref_init = Path("/root/reference/python/pyspla/__init__.py")
+    if not ref_init.exists():
+        import pytest
+
+        pytest.skip("reference checkout not present")
+    m = re.search(r"__all__\s*=\s*\[(.*?)\]", ref_init.read_text(), re.S)
+    names = {n for n in re.findall(r'"([A-Za-z_]\w*)"', m.group(1))
+             if not n.startswith("_")}
+    missing = {n for n in names if not hasattr(spla_tpu, n)}
+    assert not missing, f"missing exports: {sorted(missing)}"
+    assert names <= set(dir(spla_tpu))
+
+
+def test_object_base_and_format_enums():
+    from spla_tpu import FormatMatrix, FormatVector, Object
+    from spla_tpu.facade import Array, Matrix, MemView, Scalar, Vector
+    from spla_tpu.types import INT
+
+    for obj in (Matrix((2, 2), INT), Vector((2,), INT), Scalar(1, INT),
+                Array(INT), MemView.make(np.zeros(2, np.int32))):
+        assert isinstance(obj, Object)
+        assert obj.hnd is None
+    assert FormatMatrix.ACC_CSR.value == 6 and FormatMatrix.COUNT.value == 8
+    assert FormatVector.ACC_DENSE.value == 3 and FormatVector.COUNT.value == 5
+    m = Matrix((2, 2), INT, label="lbl")
+    assert m.label == "lbl"
